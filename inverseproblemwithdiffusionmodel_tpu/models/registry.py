@@ -1,0 +1,120 @@
+"""Model registry, construction, and score-function adapters.
+
+Reference semantics: helpers/load_model.py:23-31 TASK_NAME_TO_MODEL_CTOR
+{Diffusion -> NCSNv2Deepest, Diffusion1D -> NCSN1D, Diffusion3D ->
+NCSN3DShallow, Clf -> ResNetClf, Seg -> MONAI UNet} and the registry in
+models/utils.py:27-46 for the continuous stack. Checkpoint reload (the
+reference's hard-coded timestamp dirs, load_model.py:42-122) is replaced by
+orbax paths handled in training/checkpoint.py.
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional, Tuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .ncsnv2 import NCSNv2, NCSNv2Deeper, NCSNv2Deepest
+from .ncsn1d import NCSN1D, NCSN1DDeeper, NCSN1DDeepest, UNET1D
+from .ncsn3d import NCSN3D, NCSN3DShallow
+from .classifier import ResNetClf
+from .unet import UNet
+from ..config import load_general_config
+
+_MODELS = {}
+
+
+def register_model(cls=None, *, name: str = None):
+    """String registry (reference: models/utils.py:27-44)."""
+    def _register(cls):
+        local_name = name if name is not None else cls.__name__
+        if local_name in _MODELS:
+            raise ValueError(f"Already registered model with name: {local_name}")
+        _MODELS[local_name] = cls
+        return cls
+    return _register(cls) if cls is not None else _register
+
+
+def get_model(name: str):
+    return _MODELS[name]
+
+
+for _name, _ctor in [
+    ("ncsnv2", NCSNv2), ("ncsnv2_deeper", NCSNv2Deeper),
+    ("ncsnv2_deepest", NCSNv2Deepest), ("ncsn1d", NCSN1D),
+    ("ncsn3d", NCSN3D), ("ncsn3d_shallow", NCSN3DShallow),
+    ("unet1d", UNET1D),
+]:
+    _MODELS[_name] = _ctor
+
+
+def build_seg_unet(general_config=None) -> UNet:
+    gc = general_config or load_general_config()
+    return UNet(out_channels=gc.Seg.out_channels,
+                features=tuple(gc.Seg.channels),
+                strides=tuple(gc.Seg.strides),
+                ndim=gc.Seg.spatial_dims)
+
+
+def build_clf(general_config=None) -> ResNetClf:
+    gc = general_config or load_general_config()
+    return ResNetClf(config=gc)
+
+
+TASK_NAME_TO_MODEL_CTOR = {
+    "Diffusion": lambda config: NCSNv2Deepest(config=config),
+    "Diffusion1D": lambda config: NCSN1D(config),
+    "Diffusion3D": lambda config: NCSN3DShallow(config=config),
+    "Clf": lambda config: build_clf(),
+    "Seg": lambda config: build_seg_unet(),
+}
+
+
+def _example_input(config, task_name: str) -> jnp.ndarray:
+    """A zero batch with the right shape for init."""
+    if task_name in ("Diffusion", "Seg", "Clf"):
+        s = config.data.image_size
+        return jnp.zeros((1, s, s, config.data.channels))
+    if task_name == "Diffusion1D":
+        return jnp.zeros((1, config.data.image_size, config.data.channels))
+    if task_name == "Diffusion3D":
+        win = int(np.sqrt(config.data.channels))
+        return jnp.zeros((1, win, win, config.data.image_size,
+                          config.data.get("channels_3d", 1)))
+    raise ValueError(task_name)
+
+
+def load_model(config, task_name: str, key: Optional[jax.Array] = None
+               ) -> Tuple[Any, Any]:
+    """Construct a model and init its params
+    (reference: helpers/load_model.py:125-143). Returns (module, params)."""
+    assert task_name in TASK_NAME_TO_MODEL_CTOR, task_name
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    module = TASK_NAME_TO_MODEL_CTOR[task_name](config)
+    x = _example_input(config, task_name)
+    if task_name.startswith("Diffusion"):
+        variables = module.init(key, x, jnp.ones((x.shape[0],)))
+    else:
+        variables = module.init(key, x)
+    return module, variables["params"]
+
+
+def make_score_fn(module, params, sigmas: jnp.ndarray
+                  ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Adapter: (x, labels:int32) -> score, the interface all samplers use.
+    Labels index the given sigma ladder; the module consumes sigma VALUES."""
+    sigmas = jnp.asarray(sigmas)
+
+    def score_fn(x, labels):
+        return module.apply({"params": params}, x, sigmas[labels])
+
+    return score_fn
+
+
+def make_apply_fn(module, params) -> Callable[[jnp.ndarray], jnp.ndarray]:
+    """Plain forward (clf / seg)."""
+    def apply_fn(x):
+        return module.apply({"params": params}, x)
+    return apply_fn
