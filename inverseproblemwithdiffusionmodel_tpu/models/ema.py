@@ -23,9 +23,13 @@ class EmaState(struct.PyTreeNode):
 
     @classmethod
     def create(cls, params: PyTree, decay: float, use_warmup: bool = False) -> "EmaState":
+        # Copy (not alias) the buffers: TrainState donates its whole pytree
+        # per step, and donating the same underlying buffer twice (params +
+        # ema.params) is a runtime error.
         return cls(
             decay=decay,
-            params=jax.tree_util.tree_map(jnp.asarray, params),
+            params=jax.tree_util.tree_map(lambda p: jnp.array(p, copy=True),
+                                          params),
             num_updates=jnp.zeros((), jnp.int32) if use_warmup else None,
         )
 

@@ -40,11 +40,18 @@ def get_model(name: str):
     return _MODELS[name]
 
 
+from .ncsnpp import NCSNpp
+from .ddpm import DDPM
+from .ncsn import NCSN, NCSNdeeper
+
 for _name, _ctor in [
     ("ncsnv2", NCSNv2), ("ncsnv2_deeper", NCSNv2Deeper),
     ("ncsnv2_deepest", NCSNv2Deepest), ("ncsn1d", NCSN1D),
     ("ncsn3d", NCSN3D), ("ncsn3d_shallow", NCSN3DShallow),
     ("unet1d", UNET1D),
+    # continuous stack (reference: models/utils.py registry names)
+    ("ncsnpp", NCSNpp), ("ddpm", DDPM),
+    ("ncsn", NCSN), ("ncsn_deeper", NCSNdeeper),
 ]:
     _MODELS[_name] = _ctor
 
@@ -118,3 +125,17 @@ def make_apply_fn(module, params) -> Callable[[jnp.ndarray], jnp.ndarray]:
     def apply_fn(x):
         return module.apply({"params": params}, x)
     return apply_fn
+
+
+def get_network(config):
+    """Continuous-stack NCSNv2 size dispatch (reference:
+    models/ncsnv2.py:31-40): <96 px -> NCSNv2, <=128 -> NCSNv2Deeper,
+    <=256 -> NCSNv2Deepest."""
+    size = config.data.image_size
+    if size < 96:
+        return NCSNv2(config=config)
+    if size <= 128:
+        return NCSNv2Deeper(config=config)
+    if size <= 256:
+        return NCSNv2Deepest(config=config)
+    raise NotImplementedError(f"no NCSNv2 variant for image size {size}")

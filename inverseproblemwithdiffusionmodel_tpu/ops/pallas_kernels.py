@@ -1,0 +1,217 @@
+"""Pallas TPU kernels: fused bias+leaky-ReLU and separable 2x FIR
+resampling (the upfirdn2d hot path).
+
+The reference ships CUDA kernels for both ops (op/fused_bias_act_kernel.cu,
+op/upfirdn2d_kernel.cu). Their TPU equivalents:
+
+- `fused_leaky_relu_pallas`: one VPU pass of y = scale * lrelu(x + b) with a
+  custom VJP (the reference's FusedLeakyReLUFunction{,Backward},
+  op/fused_act.py:16-86). XLA fuses the jnp expression equally well inside
+  larger programs; this kernel exists for standalone use and parity.
+
+- `upsample2x_pallas` / `downsample2x_pallas`: the StyleGAN2 FIR resampling
+  for factor 2 with a separable kernel (the only configuration NCSN++ uses:
+  fir_kernel=[1,3,3,1], factor=2 — models/layerspp.py:94-163). Instead of
+  the reference's zero-insert + 4x4 gather kernel, the factor-2 separable
+  case reduces to an even/odd polyphase decomposition: each output row is a
+  2-tap combination of input rows (up) or a 4-tap combination of
+  de-interleaved rows (down) — pure shifted multiply-adds on the VPU, no
+  zero-inserted intermediate, one pass per axis. Grid over the batch; one
+  (H, W, C) image block in VMEM per step.
+
+All kernels are validated against ops/upfirdn2d.py (the XLA reference
+implementation, itself validated against the CUDA kernel's `upfirdn2d_native`
+oracle semantics) in tests/test_pallas_kernels.py via interpret mode on CPU.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Sequence
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .upfirdn2d import _setup_kernel
+
+_INTERPRET = False  # tests flip this on CPU
+
+
+def _interpret() -> bool:
+    return _INTERPRET or jax.default_backend() != "tpu"
+
+
+# ---------------------------------------------------------------------------
+# fused bias + leaky ReLU
+# ---------------------------------------------------------------------------
+
+def _flr_fwd_kernel(x_ref, b_ref, out_ref, *, negative_slope, scale):
+    x = x_ref[:] + b_ref[:]
+    out_ref[:] = scale * jnp.where(x >= 0, x, negative_slope * x)
+
+
+def _flr_bwd_kernel(x_ref, b_ref, g_ref, dx_ref, *, negative_slope, scale):
+    x = x_ref[:] + b_ref[:]
+    dx_ref[:] = g_ref[:] * jnp.where(x >= 0, scale, scale * negative_slope)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def fused_leaky_relu_pallas(x: jnp.ndarray, bias: jnp.ndarray,
+                            negative_slope: float = 0.2,
+                            scale: float = 2 ** 0.5) -> jnp.ndarray:
+    """y = scale * leaky_relu(x + bias); x (..., C), bias (C,)."""
+    orig_shape = x.shape
+    C = x.shape[-1]
+    x2 = x.reshape(-1, C)
+    out = pl.pallas_call(
+        functools.partial(_flr_fwd_kernel, negative_slope=negative_slope,
+                          scale=scale),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM),
+                  pl.BlockSpec(memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(x2, jnp.broadcast_to(bias, (1, C)).astype(x.dtype))
+    return out.reshape(orig_shape)
+
+
+def _flr_fwd(x, bias, negative_slope, scale):
+    return fused_leaky_relu_pallas(x, bias, negative_slope, scale), (x, bias)
+
+
+def _flr_bwd(negative_slope, scale, res, g):
+    x, bias = res
+    C = x.shape[-1]
+    x2 = x.reshape(-1, C)
+    g2 = g.reshape(-1, C)
+    dx = pl.pallas_call(
+        functools.partial(_flr_bwd_kernel, negative_slope=negative_slope,
+                          scale=scale),
+        out_shape=jax.ShapeDtypeStruct(x2.shape, x.dtype),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 3,
+        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        interpret=_interpret(),
+    )(x2, jnp.broadcast_to(bias, (1, C)).astype(x.dtype), g2)
+    dx = dx.reshape(x.shape)
+    dbias = dx.reshape(-1, C).sum(axis=0)
+    return dx, dbias
+
+
+fused_leaky_relu_pallas.defvjp(_flr_fwd, _flr_bwd)
+
+
+# ---------------------------------------------------------------------------
+# separable factor-2 FIR resampling (polyphase)
+# ---------------------------------------------------------------------------
+
+def _shift_down(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """y[i] = x[i-1], zero at i=0 (zero-padding boundary)."""
+    rolled = jnp.roll(x, 1, axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    return jnp.where(idx == 0, jnp.zeros_like(x), rolled)
+
+
+def _shift_up(x: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """y[i] = x[i+1], zero at i=H-1."""
+    rolled = jnp.roll(x, -1, axis)
+    idx = jax.lax.broadcasted_iota(jnp.int32, x.shape, axis)
+    return jnp.where(idx == x.shape[axis] - 1, jnp.zeros_like(x), rolled)
+
+
+def _up2_axis(x: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Polyphase 2x upsample along `axis` with a length-4 kernel (already
+    scaled by gain * factor): out[2i] = k1 x[i] + k3 x[i-1];
+    out[2i+1] = k2 x[i] + k0 x[i+1]."""
+    even = k[1] * x + k[3] * _shift_down(x, axis)
+    odd = k[2] * x + k[0] * _shift_up(x, axis)
+    stacked = jnp.stack([even, odd], axis=axis + 1)
+    new_shape = list(x.shape)
+    new_shape[axis] *= 2
+    return stacked.reshape(new_shape)
+
+
+def _down2_axis(x: jnp.ndarray, k: jnp.ndarray, axis: int) -> jnp.ndarray:
+    """Polyphase 2x downsample along `axis`, length-4 kernel:
+    out[i] = k3 o[i-1] + k2 e[i] + k1 o[i] + k0 e[i+1] with e/o the
+    even/odd input phases."""
+    H = x.shape[axis]
+    shape = list(x.shape)
+    shape[axis] = H // 2
+    shape.insert(axis + 1, 2)
+    pair = x.reshape(shape)
+    e = jax.lax.index_in_dim(pair, 0, axis + 1, keepdims=False)
+    o = jax.lax.index_in_dim(pair, 1, axis + 1, keepdims=False)
+    return (k[3] * _shift_down(o, axis) + k[2] * e + k[1] * o
+            + k[0] * _shift_up(e, axis))
+
+
+def _up2_kernel(x_ref, out_ref, *, k):
+    x = x_ref[0]                       # (H, W, C)
+    x = _up2_axis(x, k, 0)
+    x = _up2_axis(x, k, 1)
+    out_ref[0] = x
+
+
+def _down2_kernel(x_ref, out_ref, *, k):
+    x = x_ref[0]
+    x = _down2_axis(x, k, 0)
+    x = _down2_axis(x, k, 1)
+    out_ref[0] = x
+
+
+def _sep_kernel_1d(k: Optional[Sequence[float]], gain_per_axis: float
+                   ) -> np.ndarray:
+    k = np.asarray([1.0, 1.0] if k is None else k, dtype=np.float32)
+    assert k.ndim == 1 and 2 <= k.shape[0] <= 4, \
+        "pallas path supports separable kernels of length 2..4"
+    k = k / k.sum() * gain_per_axis
+    if k.shape[0] < 4:
+        # One leading zero re-aligns the shorter kernel's padding with the
+        # 4-tap polyphase formulas (pad0 differs by exactly 1 per length
+        # step); trailing zeros are inert.
+        k = np.concatenate([np.zeros(1, np.float32), k,
+                            np.zeros(3 - k.shape[0], np.float32)])
+    return k
+
+
+def upsample2x_pallas(x: jnp.ndarray, k: Optional[Sequence[float]] = None,
+                      gain: float = 1.0) -> jnp.ndarray:
+    """FIR 2x upsample (N, H, W, C) -> (N, 2H, 2W, C); matches
+    ops.upfirdn2d.upsample_2d(x, k, factor=2, gain)."""
+    N, H, W, C = x.shape
+    kv = tuple(float(v) for v in
+               _sep_kernel_1d(k, gain_per_axis=np.sqrt(gain) * 2.0))
+    fn = pl.pallas_call(
+        functools.partial(_up2_kernel, k=kv),
+        grid=(N,),
+        in_specs=[pl.BlockSpec((1, H, W, C), lambda n: (n, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, 2 * H, 2 * W, C), lambda n: (n, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, 2 * H, 2 * W, C), x.dtype),
+        interpret=_interpret(),
+    )
+    return fn(x)
+
+
+def downsample2x_pallas(x: jnp.ndarray, k: Optional[Sequence[float]] = None,
+                        gain: float = 1.0) -> jnp.ndarray:
+    """FIR 2x downsample (N, H, W, C) -> (N, H/2, W/2, C); matches
+    ops.upfirdn2d.downsample_2d(x, k, factor=2, gain)."""
+    N, H, W, C = x.shape
+    assert H % 2 == 0 and W % 2 == 0
+    kv = tuple(float(v) for v in
+               _sep_kernel_1d(k, gain_per_axis=np.sqrt(gain)))
+    fn = pl.pallas_call(
+        functools.partial(_down2_kernel, k=kv),
+        grid=(N,),
+        in_specs=[pl.BlockSpec((1, H, W, C), lambda n: (n, 0, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=pl.BlockSpec((1, H // 2, W // 2, C), lambda n: (n, 0, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((N, H // 2, W // 2, C), x.dtype),
+        interpret=_interpret(),
+    )
+    return fn(x)

@@ -1,0 +1,13 @@
+"""Device mesh, sharding, and sharded-ensemble utilities (TPU-native
+replacement for the reference's DataParallel + batch-row ensembles,
+SURVEY.md §2.7)."""
+from .mesh import (DATA_AXIS, MODEL_AXIS, make_mesh, data_sharding,
+                   replicated, shard_batch, replicate, pad_to_multiple)
+from .ensemble import (repeat_measurement, ensemble_keys,
+                       run_sharded_ensemble, ensemble_mean_std)
+
+__all__ = [
+    "DATA_AXIS", "MODEL_AXIS", "make_mesh", "data_sharding", "replicated",
+    "shard_batch", "replicate", "pad_to_multiple", "repeat_measurement",
+    "ensemble_keys", "run_sharded_ensemble", "ensemble_mean_std",
+]

@@ -1,9 +1,22 @@
-from .sigmas import get_sigmas, get_lh_weights
+from .sigmas import get_sigmas, get_lh_weights, sigma_ladder
 from .ald import (
     ALDConfig,
     ald_unconditional_sampler,
     ald_inverse_seg_proximal_real_imag,
     ald_2d_time,
+    interp_sigmas_T,
+    compute_clf_grad,
+    compute_seg_grad,
+)
+from .ald_variants import (
+    ald_inpainting,
+    half_mask,
+    ald_interpolation,
+    ald_cls_conditioned,
+    ald_inverse_problem,
+    ald_inverse_problem_proj,
+    ald_inverse_clf,
+    ald_inverse_clf_proximal,
 )
 from .map_opt import (
     MAPConfig,

@@ -36,6 +36,7 @@ from ..operators.base import LinearTransform
 from ..operators.proximal import Proximal
 from ..operators.finite_diff import FiniteDiff
 from ..utils.reshape import reshape_temporal_dim
+from ..utils.misc import stack_parts, unstack_parts
 
 ScoreFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 
@@ -181,7 +182,7 @@ def ald_inverse_seg_proximal_real_imag(
     if use_seg:
         assert seg_label is not None
         # the seg net sees Re and Im separately, same label for both
-        seg_label2 = jnp.concatenate([seg_label, seg_label], axis=0)
+        seg_label2 = stack_parts(seg_label, seg_label)
 
     def level_step(carry, inp):
         x_re, x_im, key = carry
@@ -191,13 +192,15 @@ def ald_inverse_seg_proximal_real_imag(
         def inner(_, state):
             x_re, x_im, key = state
             key, k_re, k_im = jax.random.split(key, 3)
-            # one forward pass over stacked [Re; Im] batch (2B)
-            stacked = jnp.concatenate([x_re, x_im], axis=0)
+            # one forward pass over the interleaved [Re, Im] batch (2B);
+            # the interleave keeps rows on their owning device when the
+            # chain axis is sharded (no all-to-all, cf. utils.stack_parts)
+            stacked = stack_parts(x_re, x_im)
             grads = score_fn(stacked, _labels(stacked, c))
             if use_seg:
                 g_seg = compute_seg_grad(seg_fn, stacked, seg_label2, seg_mode)
                 grads = grads + g_seg / sigma * (lh_w * seg_lamda)
-            g_re, g_im = jnp.split(grads, 2, axis=0)
+            g_re, g_im = unstack_parts(grads)
             x_re = _langevin_update(x_re, g_re, step_size, k_re)
             x_im = _langevin_update(x_im, g_im, step_size, k_im)
             # proximal step in the complex domain; coeff = step_lr * lr_scaled
@@ -215,9 +218,9 @@ def ald_inverse_seg_proximal_real_imag(
         (jnp.arange(L, dtype=jnp.int32), sigmas, lh_weights))
 
     if config.denoise:
-        stacked = jnp.concatenate([x_re, x_im], axis=0)
+        stacked = stack_parts(x_re, x_im)
         grads = score_fn(stacked, _labels(stacked, L - 1))
-        g_re, g_im = jnp.split(grads, 2, axis=0)
+        g_re, g_im = unstack_parts(grads)
         x_re = x_re + sigma_last**2 * g_re
         x_im = x_im + sigma_last**2 * g_im
 
@@ -301,9 +304,9 @@ def ald_2d_time(
             return x
         step_size = config.step_lr * (sigma / sigma_last) ** 2
         frames = x.reshape(B * T, H, W, C)
-        stacked = jnp.concatenate([jnp.real(frames), jnp.imag(frames)], axis=0)
+        stacked = stack_parts(jnp.real(frames), jnp.imag(frames))
         grads = score_fn_S(stacked, _labels(stacked, c))
-        g_re, g_im = jnp.split(grads, 2, axis=0)
+        g_re, g_im = unstack_parts(grads)
         k_re, k_im = jax.random.split(key)
         new_re = _langevin_update(jnp.real(frames), g_re, step_size, k_re)
         new_im = _langevin_update(jnp.imag(frames), g_im, step_size, k_im)
@@ -326,9 +329,9 @@ def ald_2d_time(
                 frames = jnp.roll(frames, (sh, sw), axis=(-2, -1))
             tubes = reshape_temporal_dim(frames, win_size, win_size)  # (B', T, k^2)
             step_size = (config.step_lr * (sigma_T / sigma_T_last) ** 2) * lamda_T
-            stacked = jnp.concatenate([jnp.real(tubes), jnp.imag(tubes)], axis=0)
+            stacked = stack_parts(jnp.real(tubes), jnp.imag(tubes))
             grads = score_fn_T(stacked, _labels(stacked, c))
-            g_re, g_im = jnp.split(grads, 2, axis=0)
+            g_re, g_im = unstack_parts(grads)
             t_re = _langevin_update(jnp.real(tubes), g_re, step_size, key_re)
             t_im = _langevin_update(jnp.imag(tubes), g_im, step_size, key_im)
             frames = reshape_temporal_dim(t_re + 1j * t_im, win_size, win_size,

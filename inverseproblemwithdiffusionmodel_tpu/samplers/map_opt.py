@@ -26,6 +26,7 @@ from .ald import ScoreFn, _labels, interp_sigmas_T
 from ..operators.base import LinearTransform
 from ..operators.finite_diff import FiniteDiff
 from ..utils.reshape import reshape_temporal_dim
+from ..utils.misc import stack_parts, unstack_parts
 
 
 @dataclasses.dataclass(frozen=True)
@@ -85,9 +86,9 @@ def map_optimizer(
 
     def ascent_grad(x):
         grad_data = lin_tfm.log_lh_grad(x, measurement, 1.0)
-        stacked = jnp.concatenate([jnp.real(x), jnp.imag(x)], axis=0)
+        stacked = stack_parts(jnp.real(x), jnp.imag(x))
         grads = score_fn(stacked, _labels(stacked, prior_label))
-        g_re, g_im = jnp.split(grads, 2, axis=0)
+        g_re, g_im = unstack_parts(grads)
         return grad_data + lamda * (g_re + 1j * g_im)
 
     return _run_adam(ascent_grad, x0, config)
@@ -137,9 +138,9 @@ def map_optimizer_2d_time(
         if score_fn_S is None or spatial_step_weight == 0.0:
             return jnp.zeros_like(x)
         frames = x.reshape(B * T, H, W, C)
-        stacked = jnp.concatenate([jnp.real(frames), jnp.imag(frames)], axis=0)
+        stacked = stack_parts(jnp.real(frames), jnp.imag(frames))
         grads = score_fn_S(stacked, _labels(stacked, prior_label))
-        g_re, g_im = jnp.split(grads, 2, axis=0)
+        g_re, g_im = unstack_parts(grads)
         return (g_re + 1j * g_im).reshape(B, T, H, W, C)
 
     def temporal_grad(x, key):
@@ -154,9 +155,9 @@ def map_optimizer_2d_time(
             sh, sw = jax.random.randint(key, (2,), 0, win_size)
             frames = jnp.roll(frames, (sh, sw), axis=(-2, -1))
         tubes = reshape_temporal_dim(frames, win_size, win_size)
-        stacked = jnp.concatenate([jnp.real(tubes), jnp.imag(tubes)], axis=0)
+        stacked = stack_parts(jnp.real(tubes), jnp.imag(tubes))
         grads = score_fn_T(stacked, _labels(stacked, prior_label))
-        g_re, g_im = jnp.split(grads, 2, axis=0)
+        g_re, g_im = unstack_parts(grads)
         g = reshape_temporal_dim(g_re + 1j * g_im, win_size, win_size,
                                  "backward", img_size=(H, W))
         if if_random_shift:

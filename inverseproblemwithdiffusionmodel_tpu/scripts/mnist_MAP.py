@@ -1,0 +1,68 @@
+"""MNIST MAP inpainting (line-skip measurement).
+
+Reference: scripts/mnist_MAP.py — `Inpainting` MAP optimizer over a
+SkipLines-undersampled Fourier measurement.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ._common import apply_overrides, add_common_args, save_artifacts, reload_model
+from ..config import load_config
+from ..data import load_data
+from ..models.registry import make_score_fn
+from ..operators import UndersamplingFourier
+from ..samplers import MAPConfig, map_optimizer
+from ..samplers.sigmas import get_sigmas
+from ..utils.metrics import nrmse
+
+
+def main(argv=None):
+    p = add_common_args(argparse.ArgumentParser())
+    p.add_argument("--ds_name", default="MNIST")
+    p.add_argument("--num_skip_lines", type=int, default=16)
+    p.add_argument("--lamda", type=float, default=0.1)
+    p.add_argument("--n_iters", type=int, default=None)
+    p.add_argument("--lr", type=float, default=None)
+    p.add_argument("--sample_idx", type=int, default=0)
+    p.add_argument("--data_root", default=None)
+    args = p.parse_args(argv)
+
+    config = load_config(args.ds_name, "real-imag")
+    config = apply_overrides(config, args.override)
+    s = config.data.image_size
+    kw = {"root_dir": args.data_root} if args.data_root else {}
+    kw["size"] = s
+    ds = load_data(args.ds_name, "test", **kw)
+    img = jnp.asarray(ds.data[args.sample_idx:args.sample_idx + 1])
+    x_true = img.astype(jnp.complex64)
+
+    lin_tfm = UndersamplingFourier.create(args.num_skip_lines, s)
+    measurement = lin_tfm(x_true)
+    zf = lin_tfm.conj_op(measurement)
+
+    module, params = reload_model(config, "Diffusion", args.ckpt_dir)
+    sigmas = get_sigmas(config, "recons" if "recons" in config
+                        else "unconditioned")
+    score_fn = make_score_fn(module, params, sigmas)
+
+    cfg = MAPConfig(n_iters=args.n_iters or config.MAP.n_iters,
+                    lr=args.lr or config.MAP.lr)
+    recon = jax.device_get(jax.jit(lambda y: map_optimizer(
+        score_fn, y, lin_tfm, args.lamda, cfg))(measurement))
+
+    print(f"MAP inpainting NRMSE "
+          f"{float(nrmse(jnp.abs(jnp.asarray(recon[0])), jnp.abs(x_true[0]))):.4f}")
+    run_dir = save_artifacts(args.save_dir, vars(args), original=x_true,
+                             measurement=measurement, ZF=zf,
+                             reconstructions=recon)
+    print(f"artifacts -> {run_dir}")
+    return recon
+
+
+if __name__ == "__main__":
+    main()

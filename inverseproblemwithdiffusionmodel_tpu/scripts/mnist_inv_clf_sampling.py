@@ -1,0 +1,73 @@
+"""Class-conditional MNIST inverse sampling (ALD + classifier guidance +
+data-consistency gradient).
+
+Reference: scripts/mnist_inv_clf_sampling.py — the script imports the
+deleted `ALDInvClf`; the sampler is re-grown from `compute_clf_grad`
+(ncsn/models/__init__.py:172) as samplers.ald_inverse_clf.
+"""
+from __future__ import annotations
+
+import argparse
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ._common import apply_overrides, add_common_args, save_artifacts, reload_model
+from ..config import load_config
+from ..data import load_data
+from ..models.registry import make_score_fn, make_apply_fn
+from ..operators import UndersamplingFourier
+from ..parallel import repeat_measurement
+from ..samplers import ALDConfig, ald_inverse_clf
+from ..samplers.sigmas import get_sigmas
+
+
+def main(argv=None):
+    p = add_common_args(argparse.ArgumentParser())
+    p.add_argument("--ds_name", default="MNIST")
+    p.add_argument("--cls", type=int, default=3, help="target class")
+    p.add_argument("--num_skip_lines", type=int, default=16)
+    p.add_argument("--lamda", type=float, default=1.0,
+                   help="data-consistency weight")
+    p.add_argument("--clf_lamda", type=float, default=1.0)
+    p.add_argument("--clf_ckpt_dir", default=None)
+    p.add_argument("--sample_idx", type=int, default=0)
+    p.add_argument("--data_root", default=None)
+    args = p.parse_args(argv)
+
+    config = load_config(args.ds_name)
+    config = apply_overrides(config, args.override)
+    s = config.data.image_size
+    kw = {"root_dir": args.data_root} if args.data_root else {}
+    kw["size"] = s
+    ds = load_data(args.ds_name, "test", **kw)
+    img = jnp.asarray(ds.data[args.sample_idx:args.sample_idx + 1])
+
+    lin_tfm = UndersamplingFourier.create(args.num_skip_lines, s)
+    measurement = lin_tfm(img.astype(jnp.complex64))
+    y_b = repeat_measurement(measurement, args.num_samples)
+
+    module, params = reload_model(config, "Diffusion", args.ckpt_dir)
+    sigmas = get_sigmas(config)
+    score_fn = make_score_fn(module, params, sigmas)
+    clf_module, clf_params = reload_model(config, "Clf", args.clf_ckpt_dir)
+    clf_fn = make_apply_fn(clf_module, clf_params)
+
+    cfg = ALDConfig(n_steps_each=config.sampling.n_steps_each,
+                    step_lr=config.sampling.step_lr)
+    cls = jnp.full((args.num_samples,), args.cls, jnp.int32)
+    recon = jax.device_get(jax.jit(lambda y, k: ald_inverse_clf(
+        score_fn, clf_fn, cls, sigmas, y, lin_tfm, args.lamda, k, cfg,
+        clf_lamda=args.clf_lamda))(y_b, jax.random.PRNGKey(args.seed)))
+
+    run_dir = save_artifacts(args.save_dir, vars(args), original=img,
+                             measurement=measurement,
+                             ZF=lin_tfm.conj_op(measurement),
+                             reconstructions=recon)
+    print(f"artifacts -> {run_dir}")
+    return recon
+
+
+if __name__ == "__main__":
+    main()

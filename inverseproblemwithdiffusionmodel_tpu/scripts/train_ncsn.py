@@ -1,0 +1,94 @@
+"""Train a discrete NCSN score model (2D / 1D / 3D).
+
+Reference: scripts/train_ncsn.py — load_config -> load_data -> load_model ->
+TrainScoreModelDiscrete + EMA callback -> trainer.fit. Here: jitted sharded
+DSM train step + EMA-in-state + orbax checkpoints + JSONL metrics.
+
+  python -m inverseproblemwithdiffusionmodel_tpu.scripts.train_ncsn \
+      --ds_name MNIST --task_name Diffusion --mode real-imag
+"""
+from __future__ import annotations
+
+import argparse
+import os
+
+import jax
+import numpy as np
+
+from ..config import load_config
+from ..data import load_data
+from ..models.registry import load_model
+from ..parallel import make_mesh
+from ..samplers.sigmas import get_sigmas
+from ..training import (TrainState, get_optimizer, make_score_train_step,
+                        make_score_eval_step, FitConfig, fit, batch_iterator)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--ds_name", required=True)
+    p.add_argument("--task_name", default="Diffusion",
+                   choices=["Diffusion", "Diffusion1D", "Diffusion3D"])
+    p.add_argument("--mode", default="real-valued",
+                   help="data mode: real-valued|mag|complex|real-imag|"
+                        "real-imag-random")
+    p.add_argument("--flatten_type", default="spatial",
+                   choices=["spatial", "temporal"])
+    p.add_argument("--train_mode", default="normal",
+                   choices=["normal", "debug"])
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--n_epochs", type=int, default=None)
+    p.add_argument("--log_dir", default="runs")
+    p.add_argument("--data_root", default=None)
+    p.add_argument("--use_mesh", action="store_true",
+                   help="shard the batch over all local devices")
+    p.add_argument("--override", action="append", default=[],
+                   metavar="KEY=VALUE")
+    p.add_argument("--seed", type=int, default=42)
+    args = p.parse_args(argv)
+
+    from ._common import apply_overrides
+    config = apply_overrides(load_config(args.ds_name, args.mode),
+                             args.override)
+    batch_size = args.batch_size or config.training.batch_size
+    n_epochs = args.n_epochs or config.training.n_epochs
+    if args.train_mode == "debug":
+        n_epochs, max_steps = 1, 2   # reference fast_dev_run=2
+    else:
+        max_steps = None
+
+    kw = {"flatten_type": args.flatten_type}
+    if args.data_root:
+        kw["root_dir"] = args.data_root
+    if "1D" not in args.ds_name and args.task_name != "Diffusion1D":
+        kw.pop("flatten_type")
+    train_ds = load_data(args.ds_name, "train", **kw)
+    val_ds = load_data(args.ds_name, "val", **kw)
+
+    module, params = load_model(config, args.task_name)
+    sigmas = get_sigmas(config)
+    mesh = make_mesh() if args.use_mesh else None
+    state = TrainState.create(params, get_optimizer(config),
+                              ema_decay=config.model.get("ema_rate", 0.999))
+    step = make_score_train_step(module, sigmas, data_mode=args.mode,
+                                 anneal_power=config.training.anneal_power,
+                                 mesh=mesh)
+    eval_step = make_score_eval_step(module, sigmas, data_mode=args.mode,
+                                     anneal_power=config.training.anneal_power)
+
+    log_dir = os.path.join(args.log_dir,
+                           f"{args.ds_name}_{args.task_name}_{args.mode}")
+    cfg = FitConfig(n_epochs=n_epochs, max_steps=max_steps,
+                    log_dir=log_dir, seed=args.seed)
+    state = fit(state, step,
+                batch_iterator(train_ds.data, batch_size, seed=args.seed),
+                cfg, eval_step=eval_step,
+                val_iter_fn=batch_iterator(val_ds.data, batch_size,
+                                           shuffle=False, seed=0))
+    print(f"done: {int(state.step)} steps; checkpoints under "
+          f"{os.path.join(log_dir, 'ckpts')}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,79 @@
+"""Train state: params + optimizer + EMA as one pytree.
+
+Replaces the reference's Lightning module/optimizer pair plus the EMA
+callback's shadow state dict (reference: helpers/pl_helpers.py:99-143,
+helpers/pl_callbacks.py:22-121). Keeping EMA inside the state means one
+donated pytree per step and orbax checkpoints capture {params, ema,
+opt_state, step} atomically — the reference instead fishes
+`callbacks.EMA.ema_state_dict` out of Lightning checkpoints
+(helpers/load_model.py:179-184).
+"""
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+
+from ..models.ema import EmaState
+
+PyTree = Any
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: PyTree
+    opt_state: optax.OptState
+    ema: Optional[EmaState]
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    @classmethod
+    def create(cls, params: PyTree, tx: optax.GradientTransformation,
+               ema_decay: Optional[float] = 0.999,
+               ema_warmup: bool = False) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            ema=(EmaState.create(params, ema_decay, ema_warmup)
+                 if ema_decay is not None else None),
+            tx=tx,
+        )
+
+    def apply_gradients(self, grads: PyTree) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                                self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        new_ema = self.ema.update(new_params) if self.ema is not None else None
+        return self.replace(step=self.step + 1, params=new_params,
+                            opt_state=new_opt_state, ema=new_ema)
+
+    @property
+    def eval_params(self) -> PyTree:
+        """EMA params if tracked, else raw params — what sampling should use
+        (the reference reloads EMA weights, helpers/load_model.py:181-184)."""
+        return self.ema.params if self.ema is not None else self.params
+
+
+def get_optimizer(config) -> optax.GradientTransformation:
+    """Adam / RMSProp / SGD from config.optim
+    (reference: ncsn/losses/__init__.py:3-13, helpers/utils.py:194-209)."""
+    opt = config.optim
+    name = opt.get("optimizer", "Adam")
+    lr = opt.lr
+    wd = opt.get("weight_decay", 0.0)
+    if name == "Adam":
+        tx = optax.adamw(lr, b1=opt.get("beta1", 0.9), eps=opt.get("eps", 1e-8),
+                         weight_decay=wd) if wd else optax.adam(
+            lr, b1=opt.get("beta1", 0.9), eps=opt.get("eps", 1e-8))
+    elif name == "RMSProp":
+        tx = optax.rmsprop(lr, decay=0.9, eps=opt.get("eps", 1e-8))
+    elif name == "SGD":
+        tx = optax.sgd(lr, momentum=0.9)
+    else:
+        raise NotImplementedError(f"optimizer {name} not supported")
+    if opt.get("grad_clip", 0.0):
+        tx = optax.chain(optax.clip_by_global_norm(opt.grad_clip), tx)
+    return tx

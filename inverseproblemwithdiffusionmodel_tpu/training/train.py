@@ -1,0 +1,135 @@
+"""Jitted, mesh-sharded train steps for score / classifier / segmentation
+models.
+
+Reference semantics: helpers/pl_helpers.py — `TrainScoreModelDiscrete`
+(:99-143: collate_batch then averaged Re/Im DSM losses), `TrainClf` (:190),
+`TrainSeg` (:264). TPU-first: each step is one compiled XLA program with
+params replicated and the batch sharded over the mesh `data` axis; XLA
+derives the gradient psum over ICI from the sharding annotations (no
+hand-written DataParallel, cf. models/utils.py:93).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh
+
+from .state import TrainState
+from ..losses.dsm import anneal_dsm_score_estimation
+from ..losses.guidance import clf_loss_with_perturbation, seg_loss_with_perturbation
+from ..utils.misc import collate_batch, stack_parts
+from ..parallel.mesh import data_sharding, replicated
+
+
+def _shard_args(mesh: Optional[Mesh]):
+    if mesh is None:
+        return {}
+    batch_sh = data_sharding(mesh)
+    repl = replicated(mesh)
+    return dict(in_shardings=(repl, batch_sh, repl), out_shardings=(repl, repl),
+                donate_argnums=(0,))
+
+
+def make_score_train_step(
+    module,
+    sigmas: jnp.ndarray,
+    data_mode: str = "real-valued",
+    anneal_power: float = 2.0,
+    mesh: Optional[Mesh] = None,
+) -> Callable[[TrainState, jnp.ndarray, jax.Array], Tuple[TrainState, jnp.ndarray]]:
+    """DSM train step. For 'real-imag' modes the loss is the mean of the DSM
+    losses on the real and imaginary parts (reference:
+    helpers/pl_helpers.py:127-138) — we batch both parts into one forward.
+    """
+    sigmas = jnp.asarray(sigmas)
+
+    def loss_fn(params, batch, key):
+        def score_fn(x, labels):
+            return module.apply({"params": params}, x, sigmas[labels])
+
+        key_collate, key_dsm = jax.random.split(key)
+        parts = collate_batch(batch, data_mode, key_collate)
+        if isinstance(parts, list):
+            # one forward over the interleaved [Re, Im] batch (2B); the
+            # interleave shards cleanly over the mesh (see stack_parts)
+            x = stack_parts(*parts)
+        else:
+            x = parts
+        return anneal_dsm_score_estimation(score_fn, x, sigmas, key_dsm,
+                                           anneal_power=anneal_power)
+
+    def step(state: TrainState, batch: jnp.ndarray, key: jax.Array):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        return state.apply_gradients(grads), loss
+
+    return jax.jit(step, **_shard_args(mesh))
+
+
+def make_clf_train_step(module, sigmas: jnp.ndarray,
+                        mesh: Optional[Mesh] = None):
+    """Noise-robust classifier step (reference: helpers/pl_helpers.py:190-246,
+    ncsn/losses/clf_loss.py). batch = (X, y)."""
+    sigmas = jnp.asarray(sigmas)
+
+    def loss_fn(params, batch, key):
+        X, y = batch
+        clf_fn = lambda x: module.apply({"params": params}, x)
+        loss, logits = clf_loss_with_perturbation(clf_fn, X, y, sigmas, key)
+        acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
+        return loss, acc
+
+    def step(state: TrainState, batch, key: jax.Array):
+        (loss, _acc), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params, batch, key)
+        return state.apply_gradients(grads), loss
+
+    kw = _shard_args(mesh)
+    return jax.jit(step, **kw)
+
+
+def make_seg_train_step(module, sigmas: jnp.ndarray,
+                        perturb: bool = False,
+                        mesh: Optional[Mesh] = None):
+    """Segmentation (DiceCE) step (reference: helpers/pl_helpers.py:264-352,
+    ncsn/losses/seg_loss.py). batch = (X, y_mask)."""
+    sigmas = jnp.asarray(sigmas)
+
+    def loss_fn(params, batch, key):
+        X, y = batch
+        seg_fn = lambda x: module.apply({"params": params}, x)
+        loss, _ = seg_loss_with_perturbation(seg_fn, X, y, sigmas, key,
+                                             perturb=perturb)
+        return loss
+
+    def step(state: TrainState, batch, key: jax.Array):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        return state.apply_gradients(grads), loss
+
+    return jax.jit(step, **_shard_args(mesh))
+
+
+def make_score_eval_step(module, sigmas: jnp.ndarray,
+                         data_mode: str = "real-valued",
+                         anneal_power: float = 2.0,
+                         use_ema: bool = True):
+    """Validation DSM loss on EMA params (the reference swaps EMA weights in
+    around validation, helpers/pl_callbacks.py:87-108)."""
+    sigmas = jnp.asarray(sigmas)
+
+    @jax.jit
+    def step(state: TrainState, batch: jnp.ndarray, key: jax.Array):
+        params = state.eval_params if use_ema else state.params
+
+        def score_fn(x, labels):
+            return module.apply({"params": params}, x, sigmas[labels])
+
+        key_collate, key_dsm = jax.random.split(key)
+        parts = collate_batch(batch, data_mode, key_collate)
+        x = stack_parts(*parts) if isinstance(parts, list) else parts
+        return anneal_dsm_score_estimation(score_fn, x, sigmas, key_dsm,
+                                           anneal_power=anneal_power)
+
+    return step

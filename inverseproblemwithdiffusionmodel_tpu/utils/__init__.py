@@ -14,3 +14,8 @@ from .misc import (
     undersample_seg_mask,
 )
 from .metrics import compute_metrics, nrmse, ssim, mae, mse, compute_snr, compute_mean_and_std
+from .misc import stack_parts, unstack_parts
+from .metrics import nrmse_np, ssim_np, compute_snr_np
+from .dataset_stats import (max_pairwise_distance, tv_norm_histogram,
+                            suggest_sigma_max)
+from .profiling import trace, annotate, timed

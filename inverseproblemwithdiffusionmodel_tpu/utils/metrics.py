@@ -114,6 +114,26 @@ def compute_snr(imgs: jnp.ndarray) -> jnp.ndarray:
     return 20 * jnp.log10(snr)
 
 
+def nrmse_np(img, img_orig) -> float:
+    """Host-side NRMSE for result aggregation (skimage convention)."""
+    import numpy as np
+    img, img_orig = np.asarray(img), np.asarray(img_orig)
+    return float(np.sqrt(np.mean((img - img_orig) ** 2))
+                 / max(np.sqrt(np.mean(img_orig ** 2)), 1e-20))
+
+
+def ssim_np(img, img_orig) -> float:
+    """Host-side SSIM (wraps the jnp implementation)."""
+    return float(ssim(jnp.asarray(img), jnp.asarray(img_orig)))
+
+
+def compute_snr_np(img) -> float:
+    """Host-side peak SNR in dB of a single image."""
+    import numpy as np
+    mag = np.abs(np.asarray(img))
+    return float(20 * np.log10(mag.max() / max(mag.std(), 1e-20)))
+
+
 def compute_mean_and_std(imgs: jnp.ndarray):
     """Ensemble mean/std; complex inputs return magnitude & phase stats
     (reference: helpers/metrics.py:77-92)."""

@@ -28,6 +28,25 @@ def logit_transform(image: jnp.ndarray, lam: float = 1e-6) -> jnp.ndarray:
     return jnp.log(image) - jnp.log1p(-image)
 
 
+def stack_parts(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Interleave two (B, ...) batches into (2B, ...) with rows 2i, 2i+1.
+
+    Unlike `concatenate(axis=0)`, the interleave keeps every output row on
+    the device that owns input row i when the batch axis is sharded over a
+    mesh - GSPMD lowers it without an all-to-all (concat along a sharded
+    axis forces one, which both wastes ICI and deadlocks XLA:CPU's
+    in-process rendezvous). Used to batch Re/Im score evaluations into one
+    forward pass.
+    """
+    return jnp.stack([a, b], axis=1).reshape(-1, *a.shape[1:])
+
+
+def unstack_parts(x: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Inverse of `stack_parts`: (2B, ...) -> two (B, ...) arrays."""
+    pair = x.reshape(-1, 2, *x.shape[1:])
+    return pair[:, 0], pair[:, 1]
+
+
 def data_transform(config, X: jnp.ndarray,
                    key: Optional[jax.Array] = None) -> jnp.ndarray:
     """Input scaling pipeline (reference: helpers/utils.py:212-226)."""

@@ -28,3 +28,12 @@ def reshape_temporal_dim(x: jnp.ndarray, kx: int, ky: int,
     assert H % kx == 0 and W % ky == 0
     return rearrange(x, "(N H1 W1) T (kx ky) -> N T (H1 kx) (W1 ky)",
                      H1=H // kx, W1=W // ky, kx=kx, ky=ky)
+
+
+def reshape_temporal_dim_np(x, kx: int, ky: int):
+    """Host/numpy forward tube reshape: (N, T, H, W) -> (N', T, kx*ky).
+    Crops H/W down to multiples of the window (dataset prep convenience)."""
+    N, T, H, W = x.shape
+    x = x[:, :, : H - H % kx, : W - W % ky]
+    return rearrange(x, "N T (H1 kx) (W1 ky) -> (N H1 W1) T (kx ky)",
+                     kx=kx, ky=ky)

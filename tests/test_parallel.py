@@ -1,0 +1,72 @@
+"""Mesh / sharding / ensemble utilities on the 8-device virtual CPU mesh."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from inverseproblemwithdiffusionmodel_tpu.parallel import (
+    make_mesh, data_sharding, shard_batch, replicate, pad_to_multiple,
+    repeat_measurement, ensemble_keys, run_sharded_ensemble,
+    ensemble_mean_std)
+
+
+def test_make_mesh_shapes():
+    mesh = make_mesh()
+    assert mesh.devices.shape == (len(jax.devices()), 1)
+    assert mesh.axis_names == ("data", "model")
+    mesh2 = make_mesh(n_data=4, n_model=2)
+    assert mesh2.devices.shape == (4, 2)
+    with pytest.raises(ValueError):
+        make_mesh(n_data=64, n_model=64)
+
+
+def test_shard_and_replicate_placement():
+    mesh = make_mesh()
+    x = jnp.arange(16.0).reshape(8, 2)
+    xs = shard_batch(x, mesh)
+    assert xs.sharding.is_equivalent_to(data_sharding(mesh), 2)
+    np.testing.assert_array_equal(np.asarray(xs), np.asarray(x))
+    xr = replicate(x, mesh)
+    assert xr.sharding.is_fully_replicated
+
+
+def test_pad_to_multiple():
+    x = np.arange(10.0).reshape(5, 2)
+    padded, n = pad_to_multiple(x, 4)
+    assert padded.shape == (8, 2) and n == 5
+    padded2, n2 = pad_to_multiple(x, 5)
+    assert padded2.shape == (5, 2) and n2 == 5
+
+
+def test_ensemble_keys_distinct():
+    keys = ensemble_keys(jax.random.PRNGKey(0), 8)
+    assert keys.shape[0] == 8
+    assert len({tuple(np.asarray(k)) for k in keys}) == 8
+
+
+def test_run_sharded_ensemble_chains_independent():
+    """Each chain must see its own fold of the key and its own batch row."""
+    mesh = make_mesh()
+    measurement = jnp.ones((1, 4, 4)) * 2.0
+
+    @jax.jit
+    def sampler(y, key):
+        keys = ensemble_keys(key, y.shape[0])
+        noise = jax.vmap(lambda k, row: jax.random.normal(k, row.shape))(
+            keys, y)
+        return y + 0.01 * noise
+
+    out = run_sharded_ensemble(sampler, measurement, 8,
+                               jax.random.PRNGKey(0), mesh=mesh)
+    assert out.shape == (8, 4, 4)
+    # chains differ (independent noise) but share the measurement
+    assert float(jnp.std(out, axis=0).max()) > 0
+    mean, std = ensemble_mean_std(out)
+    assert mean.shape == (4, 4) and std.shape == (4, 4)
+    np.testing.assert_allclose(np.asarray(mean), 2.0, atol=0.1)
+
+
+def test_repeat_measurement_nonzero_axis():
+    m = jnp.ones((3, 1, 4, 4))
+    out = repeat_measurement(m, 5, batch_axis=1)
+    assert out.shape == (3, 5, 4, 4)

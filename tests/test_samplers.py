@@ -27,7 +27,9 @@ def make_target():
 
 def make_score_fn(x_target_complex, sigmas):
     """Analytic score of a prior concentrated at x_target: handles the
-    stacked [Re; Im] batches the inverse samplers produce."""
+    interleaved [Re, Im] batches the inverse samplers produce
+    (utils.misc.stack_parts row order: 2i = Re_i, 2i+1 = Im_i)."""
+    from inverseproblemwithdiffusionmodel_tpu.utils.misc import stack_parts
     re = jnp.real(x_target_complex)
     im = jnp.imag(x_target_complex)
 
@@ -35,7 +37,7 @@ def make_score_fn(x_target_complex, sigmas):
         sig = sigmas[labels].reshape(-1, *([1] * (x.ndim - 1)))
         B = x.shape[0]
         if B == 2 * re.shape[0]:
-            target = jnp.concatenate([re, im], axis=0)
+            target = stack_parts(re, im)
         else:
             target = jnp.broadcast_to(re, x.shape)
         return (target - x) / sig**2

@@ -1,0 +1,165 @@
+"""Training infra: sharded train steps, EMA state, checkpointing, fit loop."""
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from inverseproblemwithdiffusionmodel_tpu.config import Config
+from inverseproblemwithdiffusionmodel_tpu.models.ncsnv2 import NCSNv2
+from inverseproblemwithdiffusionmodel_tpu.models.unet import UNet
+from inverseproblemwithdiffusionmodel_tpu.models.classifier import ResNetClf
+from inverseproblemwithdiffusionmodel_tpu.samplers.sigmas import get_sigmas
+from inverseproblemwithdiffusionmodel_tpu.parallel import (
+    make_mesh, shard_batch, replicate)
+from inverseproblemwithdiffusionmodel_tpu.training import (
+    TrainState, get_optimizer, make_score_train_step, make_clf_train_step,
+    make_seg_train_step, make_score_eval_step, Checkpointer, FitConfig, fit,
+    batch_iterator)
+
+
+def tiny_config(image_size=16, ngf=8, channels=1):
+    return Config({
+        "data": {"channels": channels, "image_size": image_size,
+                 "logit_transform": False, "rescaled": False},
+        "model": {"ngf": ngf, "nonlinearity": "elu",
+                  "normalization": "InstanceNorm++", "sigma_begin": 10.0,
+                  "sigma_end": 0.01, "num_classes": 8,
+                  "sigma_dist": "geometric"},
+        "training": {"anneal_power": 2.0},
+        "optim": {"optimizer": "Adam", "lr": 1e-3, "beta1": 0.9,
+                  "eps": 1e-8, "weight_decay": 0.0, "grad_clip": 1.0},
+    })
+
+
+@pytest.fixture(scope="module")
+def score_setup():
+    config = tiny_config()
+    module = NCSNv2(config=config)
+    sigmas = get_sigmas(config)
+    x = jnp.zeros((4, 16, 16, 1))
+    params = module.init(jax.random.PRNGKey(0), x, jnp.ones((4,)))["params"]
+    return config, module, sigmas, params
+
+
+def test_score_train_step_decreases_loss(score_setup):
+    config, module, sigmas, params = score_setup
+    state = TrainState.create(params, get_optimizer(config), ema_decay=0.99)
+    step = make_score_train_step(module, sigmas, data_mode="real-valued")
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 1))
+    key = jax.random.PRNGKey(2)
+    losses = []
+    for i in range(5):
+        state, loss = step(state, batch, jax.random.fold_in(key, 0))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]  # same batch+key: loss must drop
+    assert int(state.step) == 5
+
+
+def test_ema_tracks_params(score_setup):
+    config, module, sigmas, params = score_setup
+    state = TrainState.create(params, get_optimizer(config), ema_decay=0.5)
+    step = make_score_train_step(module, sigmas)
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 1))
+    state2, _ = step(state, batch, jax.random.PRNGKey(3))
+    # ema must move strictly between old ema and new params
+    leaf = jax.tree_util.tree_leaves(state.params)[0]
+    leaf_new = jax.tree_util.tree_leaves(state2.params)[0]
+    leaf_ema = jax.tree_util.tree_leaves(state2.ema.params)[0]
+    expected = 0.5 * leaf + 0.5 * leaf_new
+    np.testing.assert_allclose(leaf_ema, expected, rtol=1e-5, atol=1e-6)
+
+
+def test_score_train_step_real_imag_mode(score_setup):
+    config, module, sigmas, params = score_setup
+    state = TrainState.create(params, get_optimizer(config))
+    step = make_score_train_step(module, sigmas, data_mode="real-imag")
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 1))
+    state, loss = step(state, batch, jax.random.PRNGKey(2))
+    assert np.isfinite(float(loss))
+
+
+def test_sharded_train_step_matches_single_device(score_setup):
+    """DP over the 8-device mesh must give the same loss/params as 1 device."""
+    config, module, sigmas, params = score_setup
+    mesh = make_mesh()
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (8, 16, 16, 1))
+    key = jax.random.PRNGKey(2)
+
+    state_a = TrainState.create(params, get_optimizer(config))
+    step_plain = make_score_train_step(module, sigmas)
+    state_a, loss_a = step_plain(state_a, batch, key)
+
+    # copy params: the mesh step donates its input state, and device_put of
+    # an already-replicated array can alias the fixture's buffers
+    params_copy = jax.tree_util.tree_map(jnp.copy, params)
+    state_b = TrainState.create(params_copy, get_optimizer(config))
+    step_mesh = make_score_train_step(module, sigmas, mesh=mesh)
+    state_b, loss_b = step_mesh(replicate(state_b, mesh),
+                                shard_batch(batch, mesh),
+                                replicate(key, mesh))
+    np.testing.assert_allclose(float(loss_a), float(loss_b), rtol=1e-5)
+    la = jax.tree_util.tree_leaves(state_a.params)[0]
+    lb = jax.tree_util.tree_leaves(state_b.params)[0]
+    np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                               rtol=1e-4, atol=1e-6)
+
+
+def test_clf_and_seg_steps():
+    config = tiny_config()
+    sigmas = get_sigmas(config)
+    X = jax.random.uniform(jax.random.PRNGKey(0), (4, 16, 16, 1))
+
+    clf = ResNetClf(config=Config({"Clf": {"in_channels": 1, "num_cls": 10}}))
+    cparams = clf.init(jax.random.PRNGKey(1), X)["params"]
+    cstate = TrainState.create(cparams, get_optimizer(config))
+    cstep = make_clf_train_step(clf, sigmas)
+    y = jnp.arange(4) % 10
+    cstate, closs = cstep(cstate, (X, y), jax.random.PRNGKey(2))
+    assert np.isfinite(float(closs))
+
+    seg = UNet(out_channels=2, features=(8, 16), strides=(2,), ndim=2)
+    sparams = seg.init(jax.random.PRNGKey(3), X)["params"]
+    sstate = TrainState.create(sparams, get_optimizer(config))
+    sstep = make_seg_train_step(seg, sigmas)
+    mask = (jax.random.uniform(jax.random.PRNGKey(4), (4, 16, 16)) > 0.5
+            ).astype(jnp.int32)
+    sstate, sloss = sstep(sstate, (X, mask), jax.random.PRNGKey(5))
+    assert np.isfinite(float(sloss))
+
+
+def test_checkpoint_roundtrip(tmp_path, score_setup):
+    config, module, sigmas, params = score_setup
+    state = TrainState.create(params, get_optimizer(config), ema_decay=0.9)
+    step = make_score_train_step(module, sigmas)
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 1))
+    state, _ = step(state, batch, jax.random.PRNGKey(2))
+
+    ckpt = Checkpointer(str(tmp_path / "ckpts"), track_best=True)
+    ckpt.save(int(state.step), state, val_loss=1.23)
+    restored = ckpt.restore(state)
+    ckpt.close()
+    l0 = jax.tree_util.tree_leaves(state.params)[0]
+    l1 = jax.tree_util.tree_leaves(restored.params)[0]
+    np.testing.assert_array_equal(np.asarray(l0), np.asarray(l1))
+    e0 = jax.tree_util.tree_leaves(state.ema.params)[0]
+    e1 = jax.tree_util.tree_leaves(restored.ema.params)[0]
+    np.testing.assert_array_equal(np.asarray(e0), np.asarray(e1))
+
+
+def test_fit_loop_runs(tmp_path, score_setup):
+    config, module, sigmas, params = score_setup
+    state = TrainState.create(params, get_optimizer(config))
+    step = make_score_train_step(module, sigmas)
+    eval_step = make_score_eval_step(module, sigmas)
+    data = np.random.RandomState(0).rand(8, 16, 16, 1).astype(np.float32)
+    it = batch_iterator(data, 4, seed=0)
+    cfg = FitConfig(n_epochs=2, log_every=1, log_dir=str(tmp_path / "run"))
+    hook_calls = []
+    state = fit(state, step, it, cfg, eval_step=eval_step, val_iter_fn=it,
+                epoch_end_hook=lambda s, e: hook_calls.append(e))
+    assert int(state.step) == 4
+    assert hook_calls == [0, 1]
+    assert os.path.exists(os.path.join(cfg.log_dir, "metrics.jsonl"))
