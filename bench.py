@@ -3,20 +3,27 @@ workload (BASELINE.json metric).
 
 One ALD step = one batched Re/Im NCSNv2Deepest forward (ngf=128 at 256^2,
 the net the reference uses for every ACDC recon, helpers/load_model.py:24)
-+ a proximal data-consistency solve (SENSE FFT pairs) — the hot loop of
-scripts/acdc_SENSE_real_img.py. The whole chain is one jitted lax.scan; we
-run a shortened sigma ladder (per-step cost is level-independent) and report
-steps/sec for a single chain on one chip.
++ a proximal data-consistency solve — the hot loop of
+scripts/acdc_SENSE_real_img.py. The whole chain is one jitted lax.scan over
+a shortened sigma ladder (per-step cost is level-independent); we report
+ALD steps/sec for a single chain on one chip.
+
+The reconstruction uses the real-pair pipeline (operators/pair.py +
+samplers/ald_pair.py): complex math as (re, im) float32 pairs and the
+centered DFT as MXU matmuls — numerically identical to the complex path
+(tests/test_pair_ops.py) and the fast/portable formulation on TPU, where
+complex64 is emulated (or absent entirely).
 
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "ALD_steps/sec/chip", "vs_baseline": N}
-vs_baseline is vs the first recorded TPU run of this bench (BENCH_BASE env or
-the constant below); the reference publishes no throughput numbers.
+vs_baseline is vs BENCH_BASE (the first recorded TPU value); the reference
+publishes no throughput numbers.
 """
 from __future__ import annotations
 
 import json
 import os
+import sys
 import time
 
 import jax
@@ -24,23 +31,46 @@ import jax.numpy as jnp
 
 from inverseproblemwithdiffusionmodel_tpu.config import load_config
 from inverseproblemwithdiffusionmodel_tpu.models.ncsnv2 import NCSNv2Deepest
-from inverseproblemwithdiffusionmodel_tpu.operators.fourier import make_sense
-from inverseproblemwithdiffusionmodel_tpu.operators.proximal import L2Penalty
-from inverseproblemwithdiffusionmodel_tpu.samplers.ald import (
-    ALDConfig, ald_inverse_seg_proximal_real_imag)
+from inverseproblemwithdiffusionmodel_tpu.operators.masks import generate_mask
+from inverseproblemwithdiffusionmodel_tpu.operators.fourier import (
+    MASK_PRESETS, _exp_sens_map)
+from inverseproblemwithdiffusionmodel_tpu.operators.pair import (
+    PairSENSE, PairL2Penalty)
+from inverseproblemwithdiffusionmodel_tpu.samplers.ald import ALDConfig
+from inverseproblemwithdiffusionmodel_tpu.samplers.ald_pair import (
+    ald_inverse_proximal_pair)
 from inverseproblemwithdiffusionmodel_tpu.samplers.sigmas import sigma_ladder
 
-# First recorded value on the target chip; updated as the kernel work lands.
 DEFAULT_BASE = float(os.environ.get("BENCH_BASE", "1.0"))
 
 
+def _log(msg: str):
+    print(f"[bench] {msg}", file=sys.stderr, flush=True)
+
+
+def make_pair_sense(num_sens: int, R: int, size: int, seed: int) -> PairSENSE:
+    """Pair-form SENSE built directly (no complex intermediates)."""
+    import numpy as np
+    preset = MASK_PRESETS[R]
+    m = generate_mask(1, size, seed=seed, **preset).reshape(-1, 1, size, 1)
+    maps = np.stack([_exp_sens_map(size, size, seed + i)
+                     for i in range(num_sens)])
+    maps = maps / np.sqrt((maps ** 2).sum(axis=0, keepdims=True))
+    return PairSENSE(mask=jnp.asarray(m, jnp.float32),
+                     sens_re=jnp.asarray(maps[..., None], jnp.float32),
+                     sens_im=jnp.zeros((num_sens, size, size, 1),
+                                       jnp.float32))
+
+
 def main():
-    on_tpu = jax.default_backend() == "tpu"
-    # Full ACDC geometry on TPU; tiny stand-in on CPU (driver runs on TPU).
-    if on_tpu:
-        size, ngf, levels, n_steps, batch = 256, 128, 24, 3, 1
-    else:
-        size, ngf, levels, n_steps, batch = 64, 32, 2, 2, 1
+    on_cpu = jax.default_backend() == "cpu"
+    size, ngf, levels, n_steps, batch = (64, 32, 2, 2, 1) if on_cpu \
+        else (256, 128, 8, 3, 1)
+    size = int(os.environ.get("BENCH_SIZE", size))
+    ngf = int(os.environ.get("BENCH_NGF", ngf))
+    levels = int(os.environ.get("BENCH_LEVELS", levels))
+    n_steps = int(os.environ.get("BENCH_NSTEPS", n_steps))
+    batch = int(os.environ.get("BENCH_BATCH", batch))
 
     config = load_config("ACDC", "real-imag")
     config = config.replace(**{"data.image_size": size, "model.ngf": ngf})
@@ -50,32 +80,43 @@ def main():
                           levels, "geometric")
     key = jax.random.PRNGKey(0)
     x0 = jnp.zeros((batch, size, size, 1))
-    params = module.init(key, x0, jnp.ones((batch,)))["params"]
+    # jitted init: eager flax init is minutes-slow over remote-dispatch
+    params = jax.jit(module.init)(key, x0, jnp.ones((batch,)))["params"]
+    _log("init done")
 
     def score_fn(x, labels):
         return module.apply({"params": params}, x, sigmas[labels])
 
-    # R=8 4-coil SENSE measurement of a random complex phantom
-    lin_tfm = make_sense("exp", num_sens=4, R=8, center_lines_frac=0.06,
-                         in_shape=(size, size, 1), seed=0, num_frames=1)
+    lin_tfm = make_pair_sense(num_sens=4, R=8, size=size, seed=0)
     k1, k2 = jax.random.split(key)
-    phantom = (jax.random.uniform(k1, (batch, size, size, 1)) *
-               jnp.exp(1j * jax.random.normal(k2, (batch, size, size, 1))))
-    measurement = lin_tfm(phantom.astype(jnp.complex64))
+    mag = jax.random.uniform(k1, (batch, size, size, 1))
+    phase = jax.random.normal(k2, (batch, size, size, 1))
+    yr, yi = lin_tfm(mag * jnp.cos(phase), mag * jnp.sin(phase))
 
-    proximal = L2Penalty(lin_tfm=lin_tfm, num_iters=4)
+    proximal = PairL2Penalty(lin_tfm=lin_tfm, num_iters=4)
     ald_cfg = ALDConfig(n_steps_each=n_steps, step_lr=config.sampling.step_lr)
 
     @jax.jit
-    def recon(y, k):
-        return ald_inverse_seg_proximal_real_imag(
-            score_fn, sigmas, y, lin_tfm, proximal, k, ald_cfg, lr_scaled=5.0)
+    def recon(yr, yi, k):
+        return ald_inverse_proximal_pair(
+            score_fn, sigmas, (yr, yi), lin_tfm, proximal, k, ald_cfg,
+            lr_scaled=5.0)
 
-    k_run = jax.random.PRNGKey(1)
-    jax.block_until_ready(recon(measurement, k_run))  # compile + warm-up
-    t0 = time.perf_counter()
-    jax.block_until_ready(recon(measurement, k_run))
-    elapsed = time.perf_counter() - t0
+    def run_fetch(i: int) -> float:
+        """Run a chain and force a device->host scalar read (the only
+        trustworthy sync over remote-dispatch backends)."""
+        xr, xi = recon(yr, yi, jax.random.PRNGKey(i))
+        return float(jnp.abs(xr).sum() + jnp.abs(xi).sum())
+
+    _log("compiling recon...")
+    run_fetch(1)  # compile + warm-up
+    _log("warm-up done")
+    times = []
+    for i in range(2, 5):
+        t0 = time.perf_counter()
+        run_fetch(i)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
 
     total_steps = levels * n_steps
     value = total_steps / elapsed

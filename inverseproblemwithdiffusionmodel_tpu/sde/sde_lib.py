@@ -92,6 +92,27 @@ class ReverseSDE:
         return rev_f, rev_G
 
 
+def get_ddpm_params(beta_min: float = 0.1, beta_max: float = 20.0,
+                    num_scales: int = 1000) -> dict:
+    """Discrete DDPM schedule tensors (reference: models/utils.py:63-85):
+    betas, alphas, cumulative products and the sqrt factors samplers use."""
+    betas = np.linspace(beta_min / num_scales, beta_max / num_scales,
+                        num_scales, dtype=np.float64)
+    alphas = 1.0 - betas
+    alphas_cumprod = np.cumprod(alphas)
+    return {
+        "betas": jnp.asarray(betas, jnp.float32),
+        "alphas": jnp.asarray(alphas, jnp.float32),
+        "alphas_cumprod": jnp.asarray(alphas_cumprod, jnp.float32),
+        "sqrt_alphas_cumprod": jnp.asarray(np.sqrt(alphas_cumprod),
+                                           jnp.float32),
+        "sqrt_1m_alphas_cumprod": jnp.asarray(
+            np.sqrt(1.0 - alphas_cumprod), jnp.float32),
+        "beta_min": beta_min, "beta_max": beta_max,
+        "num_diffusion_timesteps": num_scales,
+    }
+
+
 @dataclasses.dataclass(frozen=True)
 class VPSDE(SDE):
     """Variance-preserving (DDPM) SDE with linear beta schedule

@@ -68,6 +68,38 @@ def make_score_train_step(
     return jax.jit(step, **_shard_args(mesh))
 
 
+def make_continuous_score_train_step(
+    module,
+    sde,
+    mesh: Optional[Mesh] = None,
+    continuous: bool = True,
+    eps: float = 1e-5,
+    reduce_mean: bool = False,
+    data_mode: str = "real-valued",
+):
+    """Continuous-time DSM train step against an SDE's marginal
+    (reference: helpers/pl_helpers.py:31-96 `TrainScoreModel` +
+    helpers/losses.py:7-24). The raw network is conditioned per the
+    sde convention (sde.get_score_fn semantics, models/utils.py:129-178).
+    """
+    from ..losses.dsm import continuous_dsm_loss
+    from ..sde.sampling import get_score_fn
+
+    def loss_fn(params, batch, key):
+        model_fn = lambda x, cond: module.apply({"params": params}, x, cond)
+        score_fn = get_score_fn(sde, model_fn, continuous=continuous)
+        key_collate, key_dsm = jax.random.split(key)
+        parts = collate_batch(batch, data_mode, key_collate)
+        x = stack_parts(*parts) if isinstance(parts, list) else parts
+        return continuous_dsm_loss(score_fn, sde, x, key_dsm, eps=eps)
+
+    def step(state: TrainState, batch, key: jax.Array):
+        loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
+        return state.apply_gradients(grads), loss
+
+    return jax.jit(step, **_shard_args(mesh))
+
+
 def make_clf_train_step(module, sigmas: jnp.ndarray,
                         mesh: Optional[Mesh] = None):
     """Noise-robust classifier step (reference: helpers/pl_helpers.py:190-246,

@@ -181,6 +181,63 @@ def save_vol_as_gif(vol: np.ndarray, save_path: str, duration: int = 100):
     return save_path
 
 
+def vis_signals(*signals: np.ndarray, titles: Optional[Sequence[str]] = None,
+                save_path: str = "signals.png"):
+    """Overlayed 1-D signal plots, one panel per argument
+    (reference: helpers/utils.py:123-138). Each signal: (T,) or (T, C)."""
+    fig, axes = plt.subplots(1, len(signals), figsize=(4 * len(signals), 3))
+    for i, (ax, sig) in enumerate(zip(np.atleast_1d(axes), signals)):
+        sig = np.asarray(sig)
+        if sig.ndim == 1:
+            sig = sig[:, None]
+        for c in range(sig.shape[1]):
+            ax.plot(sig[:, c], lw=1)
+        ax.grid(alpha=0.3)
+        if titles:
+            ax.set_title(titles[i], fontsize=9)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return save_path
+
+
+def vis_multi_channel_signal(signal: np.ndarray, ncols: int = 4,
+                             save_path: str = "channels.png"):
+    """One subplot per channel of a (T, C) signal
+    (reference: helpers/utils.py:141-158)."""
+    sig = np.asarray(signal)
+    C = sig.shape[1]
+    nrows = (C + ncols - 1) // ncols
+    fig, axes = plt.subplots(nrows, ncols, figsize=(3 * ncols, 2 * nrows),
+                             squeeze=False)
+    for c in range(nrows * ncols):
+        ax = axes[c // ncols][c % ncols]
+        if c < C:
+            ax.plot(sig[:, c], lw=1)
+            ax.set_title(f"ch {c}", fontsize=8)
+        ax.set_axis_off() if c >= C else ax.grid(alpha=0.3)
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return save_path
+
+
+def vis_tensor(x: np.ndarray, save_path: str = "tensor.png"):
+    """Quick magnitude imshow of whatever tensor lands here
+    (reference: helpers/utils.py:229-247 debug helper)."""
+    mag = np.abs(np.asarray(x)).squeeze()
+    while mag.ndim > 2:
+        mag = mag[0]
+    fig, ax = plt.subplots(figsize=(3.2, 3))
+    im = ax.imshow(mag, cmap="gray")
+    fig.colorbar(im, ax=ax, fraction=0.046)
+    ax.set_axis_off()
+    fig.tight_layout()
+    fig.savefig(save_path, dpi=120)
+    plt.close(fig)
+    return save_path
+
+
 def vis_images(*imgs: np.ndarray, titles: Optional[Sequence[str]] = None,
                save_path: str = "images.png"):
     """Side-by-side image grid (reference: helpers/utils.py:74-120)."""

@@ -1,0 +1,146 @@
+"""Real-pair (no-complex) fast path vs the complex reference implementations."""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from inverseproblemwithdiffusionmodel_tpu.ops.fft import i2k_complex, k2i_complex
+from inverseproblemwithdiffusionmodel_tpu.ops.fft_pair import (
+    i2k_pair, k2i_pair, cmul, cconj_mul, dft_matrix)
+from inverseproblemwithdiffusionmodel_tpu.operators import make_sense, L2Penalty
+from inverseproblemwithdiffusionmodel_tpu.operators.pair import (
+    PairSENSE, PairRandomUndersamplingFourier, PairL2Penalty)
+from inverseproblemwithdiffusionmodel_tpu.samplers import (
+    ALDConfig, ald_inverse_seg_proximal_real_imag)
+from inverseproblemwithdiffusionmodel_tpu.samplers.ald_pair import (
+    ald_inverse_proximal_pair)
+from inverseproblemwithdiffusionmodel_tpu.samplers.sigmas import sigma_ladder
+from inverseproblemwithdiffusionmodel_tpu.utils.misc import stack_parts
+
+H = W = 16
+
+
+def rand_complex(key, shape):
+    kr, ki = jax.random.split(key)
+    return (jax.random.normal(kr, shape) +
+            1j * jax.random.normal(ki, shape)).astype(jnp.complex64)
+
+
+def test_matmul_dft_matches_fft():
+    z = rand_complex(jax.random.PRNGKey(0), (2, H, W, 1))
+    ref = i2k_complex(z)
+    kr, ki = i2k_pair(jnp.real(z), jnp.imag(z))
+    np.testing.assert_allclose(np.asarray(kr), np.real(np.asarray(ref)),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(ki), np.imag(np.asarray(ref)),
+                               atol=2e-5)
+    # roundtrip
+    xr, xi = k2i_pair(kr, ki)
+    np.testing.assert_allclose(np.asarray(xr), np.real(np.asarray(z)),
+                               atol=2e-5)
+    np.testing.assert_allclose(np.asarray(xi), np.imag(np.asarray(z)),
+                               atol=2e-5)
+
+
+def test_dft_matrix_unitary():
+    fr, fi = dft_matrix(8)
+    F = np.asarray(fr) + 1j * np.asarray(fi)
+    np.testing.assert_allclose(F @ F.conj().T, np.eye(8), atol=1e-6)
+
+
+def test_cmul_helpers():
+    a = rand_complex(jax.random.PRNGKey(1), (4,))
+    b = rand_complex(jax.random.PRNGKey(2), (4,))
+    mr, mi = cmul(jnp.real(a), jnp.imag(a), jnp.real(b), jnp.imag(b))
+    np.testing.assert_allclose(np.asarray(mr + 1j * mi), np.asarray(a * b),
+                               rtol=1e-5)
+    cr, ci = cconj_mul(jnp.real(a), jnp.imag(a), jnp.real(b), jnp.imag(b))
+    np.testing.assert_allclose(np.asarray(cr + 1j * ci),
+                               np.asarray(jnp.conj(a) * b), rtol=1e-5)
+
+
+@pytest.fixture(scope="module")
+def sense_pair():
+    sense = make_sense("exp", 4, 8, 0.1, (H, W, 1), seed=0, num_frames=1)
+    return sense, PairSENSE.from_complex(sense)
+
+
+def test_pair_sense_matches_complex(sense_pair):
+    sense, pair = sense_pair
+    z = rand_complex(jax.random.PRNGKey(3), (2, H, W, 1))
+    ref = sense(z)
+    fr, fi = pair(jnp.real(z), jnp.imag(z))
+    np.testing.assert_allclose(np.asarray(fr + 1j * fi), np.asarray(ref),
+                               atol=2e-5)
+    ref_adj = sense.conj_op(ref)
+    ar, ai = pair.conj_op(fr, fi)
+    np.testing.assert_allclose(np.asarray(ar + 1j * ai), np.asarray(ref_adj),
+                               atol=2e-5)
+
+
+def test_pair_adjointness(sense_pair):
+    """<A x, y> == <x, A^H y> in pair form, with y in the measurement range
+    (conj_op omits the idempotent mask, as the complex operator does)."""
+    _, pair = sense_pair
+    kx = jax.random.PRNGKey(4)
+    x = rand_complex(kx, (1, H, W, 1))
+    y_raw = rand_complex(jax.random.fold_in(kx, 1), (4, 1, H, W, 1))
+    y = pair.mask * y_raw
+    Ax_r, Ax_i = pair(jnp.real(x), jnp.imag(x))
+    Ahy_r, Ahy_i = pair.conj_op(jnp.real(y), jnp.imag(y))
+    lhs = jnp.sum(Ax_r * jnp.real(y) + Ax_i * jnp.imag(y))
+    rhs = jnp.sum(jnp.real(x) * Ahy_r + jnp.imag(x) * Ahy_i)
+    np.testing.assert_allclose(float(lhs), float(rhs), rtol=1e-4)
+
+
+def test_pair_prox_matches_complex(sense_pair):
+    sense, pair = sense_pair
+    z = rand_complex(jax.random.PRNGKey(5), (1, H, W, 1))
+    y = sense(rand_complex(jax.random.PRNGKey(6), (1, H, W, 1)))
+    ref = L2Penalty(lin_tfm=sense, num_iters=6)(z, y, 0.3, 1.0)
+    pr = PairL2Penalty(lin_tfm=pair, num_iters=6)
+    xr, xi = pr(jnp.real(z), jnp.imag(z), jnp.real(y), jnp.imag(y), 0.3, 1.0)
+    np.testing.assert_allclose(np.asarray(xr + 1j * xi), np.asarray(ref),
+                               atol=1e-4)
+
+
+def test_pair_ald_matches_complex_sampler(sense_pair):
+    """Full pair reconstruction == complex reconstruction (same keys)."""
+    sense, pair = sense_pair
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    mag = jnp.exp(-(((yy - 8) ** 2 + (xx - 6) ** 2) / 20.0))[None, :, :, None]
+    target = mag.astype(jnp.complex64)
+    y = sense(target)
+    sigmas = sigma_ladder(1.0, 0.01, 20)
+
+    def score_fn(x, labels):
+        sig = sigmas[labels].reshape(-1, *([1] * (x.ndim - 1)))
+        tgt = stack_parts(jnp.real(target), jnp.imag(target)) \
+            if x.shape[0] == 2 else jnp.broadcast_to(jnp.real(target), x.shape)
+        return (tgt - x) / sig ** 2
+
+    cfg = ALDConfig(n_steps_each=2, step_lr=3e-5)
+    ref = ald_inverse_seg_proximal_real_imag(
+        score_fn, sigmas, y, sense, L2Penalty(lin_tfm=sense, num_iters=4),
+        jax.random.PRNGKey(0), cfg, lr_scaled=50.0)
+    xr, xi = ald_inverse_proximal_pair(
+        score_fn, sigmas, (jnp.real(y), jnp.imag(y)), pair,
+        PairL2Penalty(lin_tfm=pair, num_iters=4),
+        jax.random.PRNGKey(0), cfg, lr_scaled=50.0)
+    np.testing.assert_allclose(np.asarray(xr), np.real(np.asarray(ref)),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(xi), np.imag(np.asarray(ref)),
+                               atol=1e-3)
+
+
+def test_pair_single_coil():
+    from inverseproblemwithdiffusionmodel_tpu.operators import (
+        RandomUndersamplingFourier)
+    op = RandomUndersamplingFourier.create(8, 0.1, (H, W, 1), seed=0,
+                                           num_frames=1)
+    pair = PairRandomUndersamplingFourier.from_complex(op)
+    z = rand_complex(jax.random.PRNGKey(7), (2, H, W, 1))
+    ref = op(z)
+    fr, fi = pair(jnp.real(z), jnp.imag(z))
+    np.testing.assert_allclose(np.asarray(fr + 1j * fi), np.asarray(ref),
+                               atol=2e-5)

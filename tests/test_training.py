@@ -163,3 +163,34 @@ def test_fit_loop_runs(tmp_path, score_setup):
     assert int(state.step) == 4
     assert hook_calls == [0, 1]
     assert os.path.exists(os.path.join(cfg.log_dir, "metrics.jsonl"))
+
+
+def test_continuous_score_train_step(score_setup):
+    from inverseproblemwithdiffusionmodel_tpu.sde import VESDE
+    from inverseproblemwithdiffusionmodel_tpu.training import (
+        make_continuous_score_train_step)
+    config, module, sigmas, params = score_setup
+    # NCSNv2 consumes sigma values, matching VE's continuous conditioning
+    sde = VESDE(N=8, sigma_min=0.01, sigma_max=10.0)
+    params_copy = jax.tree_util.tree_map(jnp.copy, params)
+    state = TrainState.create(params_copy, get_optimizer(config))
+    step = make_continuous_score_train_step(module, sde)
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 1))
+    losses = []
+    for _ in range(4):
+        state, loss = step(state, batch, jax.random.PRNGKey(2))
+        losses.append(float(loss))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0]
+
+
+def test_ald_visualization_hook(tmp_path, score_setup):
+    from inverseproblemwithdiffusionmodel_tpu.training import (
+        make_ald_visualization_hook)
+    config, module, sigmas, params = score_setup
+    state = TrainState.create(
+        jax.tree_util.tree_map(jnp.copy, params), get_optimizer(config))
+    hook = make_ald_visualization_hook(module, sigmas, (2, 16, 16, 1),
+                                       str(tmp_path), step_lr=1e-5)
+    hook(state, 0)
+    assert (tmp_path / "samples_epoch0000.png").exists()
