@@ -139,6 +139,66 @@ class BatchNorm(nn.Module):
         return nn.BatchNorm(use_running_average=self.use_running_average)(x)
 
 
+class ConditionalInstanceNorm(nn.Module):
+    """Class-conditional InstanceNorm: per-class gamma (and beta)
+    embeddings on top of affine-free instance stats
+    (reference: normalization.py:77-101)."""
+    num_features: int
+    num_classes: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        h = _instance_norm(x)
+        gamma_e = self.param("gamma_embed", normal_init(1.0, 0.02),
+                             (self.num_classes, self.num_features))
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.num_features,)
+        out = gamma_e[y].reshape(shape) * h
+        if self.bias:
+            beta_e = self.param("beta_embed", nn.initializers.zeros,
+                                (self.num_classes, self.num_features))
+            out = out + beta_e[y].reshape(shape)
+        return out
+
+
+class ConditionalVarianceNorm(nn.Module):
+    """Class-conditional variance normalization
+    (reference: normalization.py:43-60)."""
+    num_features: int
+    num_classes: int
+    bias: bool = False
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        axes = _spatial_axes(x)
+        vars_ = jnp.var(x, axis=axes, keepdims=True)
+        h = x / jnp.sqrt(vars_ + 1e-5)
+        alpha_e = self.param("alpha_embed", normal_init(1.0, 0.02),
+                             (self.num_classes, self.num_features))
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.num_features,)
+        return alpha_e[y].reshape(shape) * h
+
+
+class ConditionalNoneNorm(nn.Module):
+    """Class-conditional affine with no normalization
+    (reference: normalization.py:122-147)."""
+    num_features: int
+    num_classes: int
+    bias: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, y: jnp.ndarray) -> jnp.ndarray:
+        gamma_e = self.param("gamma_embed", normal_init(1.0, 0.02),
+                             (self.num_classes, self.num_features))
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2) + (self.num_features,)
+        out = gamma_e[y].reshape(shape) * x
+        if self.bias:
+            beta_e = self.param("beta_embed", nn.initializers.zeros,
+                                (self.num_classes, self.num_features))
+            out = out + beta_e[y].reshape(shape)
+        return out
+
+
 _NORMS = {
     "InstanceNorm++": InstanceNormPlus,
     "InstanceNorm": InstanceNorm,
@@ -147,15 +207,22 @@ _NORMS = {
     "BatchNorm": BatchNorm,
 }
 
+_COND_NORMS = {
+    "InstanceNorm++": ConditionalInstanceNormPlus,
+    "InstanceNorm": ConditionalInstanceNorm,
+    "VarianceNorm": ConditionalVarianceNorm,
+    "NoneNorm": ConditionalNoneNorm,
+}
+
 
 def get_normalization(config, conditional: bool = False):
     """Dispatch by config.model.normalization
     (reference: normalization.py:5-34)."""
     name = config.model.normalization
     if conditional:
-        if name == "InstanceNorm++":
-            return ConditionalInstanceNormPlus
-        raise NotImplementedError(f"conditional {name} not implemented")
+        if name not in _COND_NORMS:
+            raise NotImplementedError(f"conditional {name} not implemented")
+        return _COND_NORMS[name]
     if name not in _NORMS:
         raise NotImplementedError(f"{name} does not exist!")
     return _NORMS[name]

@@ -45,9 +45,9 @@ def run_map(args, lin_tfm_factory):
 
     cfg = MAPConfig(n_iters=args.n_iters or config.MAP.n_iters,
                     lr=args.lr or config.MAP.lr)
-    recon_fn = jax.jit(lambda y: map_optimizer(score_fn, y, lin_tfm,
-                                               args.lamda, cfg))
-    recon = jax.device_get(recon_fn(measurement))
+    recon_fn = jax.jit(lambda p, y: map_optimizer(
+        make_score_fn(module, p, sigmas), y, lin_tfm, args.lamda, cfg))
+    recon = jax.device_get(recon_fn(params, measurement))
 
     truth = np.abs(np.asarray(x_true[0]))
     m_nrmse = float(nrmse(jnp.abs(jnp.asarray(recon[0])), jnp.asarray(truth)))

@@ -64,10 +64,9 @@ def main(argv=None):
     score_fn = make_score_fn(module, params, sigmas)
 
     use_seg = args.seg_start_time < 1.0
-    seg_fn, seg_label_b = None, None
+    seg_module, seg_params, seg_label_b = None, 0, None
     if use_seg:
         seg_module, seg_params = reload_model(config, "Seg", args.seg_ckpt_dir)
-        seg_fn = make_apply_fn(seg_module, seg_params)
         seg_label_b = repeat_measurement(seg_label, args.num_samples)
 
     cfg = ALDConfig(n_steps_each=config.sampling.n_steps_each,
@@ -75,11 +74,16 @@ def main(argv=None):
     y_b = repeat_measurement(measurement, args.num_samples, batch_axis=1)
     proximal = L2Penalty(lin_tfm=lin_tfm)
 
-    recon_fn = jax.jit(lambda y, k: ald_inverse_seg_proximal_real_imag(
-        score_fn, sigmas, y, lin_tfm, proximal, k, cfg,
-        lr_scaled=args.lr_scaled, seg_fn=seg_fn, seg_label=seg_label_b,
-        seg_lamda=args.lamda, seg_start_time=args.seg_start_time))
-    recons = jax.device_get(recon_fn(y_b, k_run))
+    @jax.jit
+    def recon_fn(p, sp, y, k):
+        sfn = make_score_fn(module, p, sigmas)
+        gfn = (lambda x: seg_module.apply({"params": sp}, x)) if use_seg else None
+        return ald_inverse_seg_proximal_real_imag(
+            sfn, sigmas, y, lin_tfm, proximal, k, cfg,
+            lr_scaled=args.lr_scaled, seg_fn=gfn, seg_label=seg_label_b,
+            seg_lamda=args.lamda, seg_start_time=args.seg_start_time)
+
+    recons = jax.device_get(recon_fn(params, seg_params, y_b, k_run))
 
     mean_mag, std_mag = ensemble_mean_std(jnp.asarray(recons))
     truth_mag = np.abs(np.asarray(x_true[0]))

@@ -75,26 +75,32 @@ def main(argv=None):
 
     module_S, params_S = reload_model(config_S, "Diffusion", args.ckpt_dir)
     sigmas_S = get_sigmas(config_S, "recons")
-    score_fn_S = make_score_fn(module_S, params_S, sigmas_S)
 
-    score_fn_T, sigmas_T = None, get_sigmas(config_T, "recons")
-    if "diffusion1d" in args.mode_T:
+    use_T = "diffusion1d" in args.mode_T
+    sigmas_T = get_sigmas(config_T, "recons")
+    module_T, params_T = (None, 0)
+    if use_T:
         module_T, params_T = reload_model(config_T, args.task_name_T,
                                           args.ckpt_dir_T)
-        score_fn_T = make_score_fn(module_T, params_T, sigmas_T)
 
     cfg = ALDConfig(n_steps_each=config_S.sampling.n_steps_each,
                     step_lr=config_S.sampling.step_lr)
     proximal = L2Penalty(lin_tfm=lin_tfm)
 
-    recon_fn = jax.jit(lambda y, k: ald_2d_time(
-        score_fn_S, score_fn_T, sigmas_S, sigmas_T, y, lin_tfm, proximal, k,
-        cfg, lr_scaled=args.lr_scaled, mode_T=args.mode_T,
-        lamda_T=args.lamda_T, if_random_shift=args.if_random_shift,
-        win_size=args.win_size, num_frames=T))
+    # params as jit args (closed-over pytrees would be inlined as constants)
+    @jax.jit
+    def recon_fn(pS, pT, y, k):
+        sS = make_score_fn(module_S, pS, sigmas_S)
+        sT = make_score_fn(module_T, pT, sigmas_T) if use_T else None
+        return ald_2d_time(
+            sS, sT, sigmas_S, sigmas_T, y, lin_tfm, proximal, k,
+            cfg, lr_scaled=args.lr_scaled, mode_T=args.mode_T,
+            lamda_T=args.lamda_T, if_random_shift=args.if_random_shift,
+            win_size=args.win_size, num_frames=T)
 
     t0 = time.time()
-    recons = jax.block_until_ready(recon_fn(measurement, k_run))
+    recons = jax.block_until_ready(
+        recon_fn(params_S, params_T, measurement, k_run))
     wall = time.time() - t0
     print(f"2D+time recon wall-clock: {wall:.2f}s "
           f"({sigmas_S.shape[0] * cfg.n_steps_each / wall:.2f} ALD steps/s)")

@@ -70,23 +70,27 @@ def main(argv=None):
 
     module_S, params_S = reload_model(config_S, "Diffusion", args.ckpt_dir)
     sigmas_S = get_sigmas(config_S, "recons")
-    score_fn_S = make_score_fn(module_S, params_S, sigmas_S)
-    score_fn_T = None
-    if args.mode_T == "diffusion1d":
+    sigmas_T = get_sigmas(config_T, "recons")
+    use_T = args.mode_T == "diffusion1d"
+    module_T, params_T = (None, 0)
+    if use_T:
         module_T, params_T = reload_model(config_T, args.task_name_T,
                                           args.ckpt_dir_T)
-        score_fn_T = make_score_fn(module_T, params_T,
-                                   get_sigmas(config_T, "recons"))
 
     cfg = MAPConfig(n_iters=args.n_iters or config_S.MAP.n_iters,
                     lr=args.lr or config_S.MAP.lr)
     t0 = time.time()
-    recon = jax.block_until_ready(jax.jit(lambda y: map_optimizer_2d_time(
-        score_fn_S, score_fn_T, y, lin_tfm, cfg,
-        prior_weight=args.prior_weight,
-        spatial_step_weight=args.spatial_step_weight,
-        temporal_step_weight=args.temporal_step_weight, mode_T=args.mode_T,
-        win_size=args.win_size, num_frames=T))(measurement))
+    recon = jax.block_until_ready(jax.jit(
+        lambda pS, pT, y: map_optimizer_2d_time(
+            make_score_fn(module_S, pS, sigmas_S),
+            make_score_fn(module_T, pT, sigmas_T) if use_T else None,
+            y, lin_tfm, cfg,
+            prior_weight=args.prior_weight,
+            spatial_step_weight=args.spatial_step_weight,
+            temporal_step_weight=args.temporal_step_weight,
+            mode_T=args.mode_T,
+            win_size=args.win_size, num_frames=T))(
+        params_S, params_T, measurement))
     print(f"MAP 2D+time wall-clock: {time.time() - t0:.2f}s")
 
     mag = np.abs(np.asarray(recon[0]))

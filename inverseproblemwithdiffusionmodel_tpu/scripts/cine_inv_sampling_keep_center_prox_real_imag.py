@@ -61,10 +61,10 @@ def main(argv=None):
     y_b = repeat_measurement(measurement, args.num_samples)
     proximal = get_proximal(args.proximal)(lin_tfm=lin_tfm)
 
-    recons = jax.device_get(jax.jit(lambda y, k:
+    recons = jax.device_get(jax.jit(lambda p, y, k:
         ald_inverse_seg_proximal_real_imag(
-            score_fn, sigmas, y, lin_tfm, proximal, k, cfg,
-            lr_scaled=args.lr_scaled))(y_b, k_run))
+            make_score_fn(module, p, sigmas), sigmas, y, lin_tfm, proximal,
+            k, cfg, lr_scaled=args.lr_scaled))(params, y_b, k_run))
 
     mean_mag = np.abs(recons).mean(axis=0)
     truth = np.abs(np.asarray(x_true[0]))

@@ -52,8 +52,9 @@ def main(argv=None):
 
     cfg = MAPConfig(n_iters=args.n_iters or config.MAP.n_iters,
                     lr=args.lr or config.MAP.lr)
-    recon = jax.device_get(jax.jit(lambda y: map_optimizer(
-        score_fn, y, lin_tfm, args.lamda, cfg))(measurement))
+    recon = jax.device_get(jax.jit(lambda p, y: map_optimizer(
+        make_score_fn(module, p, sigmas), y, lin_tfm, args.lamda, cfg))(
+        params, measurement))
 
     print(f"MAP inpainting NRMSE "
           f"{float(nrmse(jnp.abs(jnp.asarray(recon[0])), jnp.abs(x_true[0]))):.4f}")

@@ -58,10 +58,13 @@ def main(argv=None):
                     step_lr=config.sampling.step_lr)
     cls = jnp.full((args.num_samples,), args.cls, jnp.int32)
     proximal = get_proximal(args.proximal)(lin_tfm=lin_tfm)
-    recon = jax.device_get(jax.jit(lambda y, k: ald_inverse_clf_proximal(
-        score_fn, clf_fn, cls, sigmas, y, lin_tfm, proximal, k, cfg,
-        lr_scaled=args.lr_scaled, clf_lamda=args.clf_lamda))(
-        y_b, jax.random.PRNGKey(args.seed)))
+    recon = jax.device_get(jax.jit(
+        lambda p, cp, y, k: ald_inverse_clf_proximal(
+            make_score_fn(module, p, sigmas),
+            lambda x: clf_module.apply({"params": cp}, x),
+            cls, sigmas, y, lin_tfm, proximal, k, cfg,
+            lr_scaled=args.lr_scaled, clf_lamda=args.clf_lamda))(
+        params, clf_params, y_b, jax.random.PRNGKey(args.seed)))
 
     run_dir = save_artifacts(args.save_dir, vars(args), original=img,
                              measurement=measurement,

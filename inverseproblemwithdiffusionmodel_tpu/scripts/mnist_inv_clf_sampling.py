@@ -57,9 +57,12 @@ def main(argv=None):
     cfg = ALDConfig(n_steps_each=config.sampling.n_steps_each,
                     step_lr=config.sampling.step_lr)
     cls = jnp.full((args.num_samples,), args.cls, jnp.int32)
-    recon = jax.device_get(jax.jit(lambda y, k: ald_inverse_clf(
-        score_fn, clf_fn, cls, sigmas, y, lin_tfm, args.lamda, k, cfg,
-        clf_lamda=args.clf_lamda))(y_b, jax.random.PRNGKey(args.seed)))
+    recon = jax.device_get(jax.jit(lambda p, cp, y, k: ald_inverse_clf(
+        make_score_fn(module, p, sigmas),
+        lambda x: clf_module.apply({"params": cp}, x),
+        cls, sigmas, y, lin_tfm, args.lamda, k, cfg,
+        clf_lamda=args.clf_lamda))(params, clf_params, y_b,
+                                   jax.random.PRNGKey(args.seed)))
 
     run_dir = save_artifacts(args.save_dir, vars(args), original=img,
                              measurement=measurement,

@@ -48,11 +48,11 @@ def main(argv=None):
         denoise=config.sampling.get("denoise", True))
     key = jax.random.PRNGKey(args.seed)
 
-    sampler = jax.jit(lambda k: ald_unconditional_sampler(
-        score_fn, sigmas, shape, k, cfg))
+    sampler = jax.jit(lambda p, k: ald_unconditional_sampler(
+        make_score_fn(module, p, sigmas), sigmas, shape, k, cfg))
     if args.use_mesh:
         make_mesh()  # chains are batch rows; jit shards them automatically
-    samples = jax.device_get(sampler(key))
+    samples = jax.device_get(sampler(params, key))
     run_dir = save_artifacts(args.save_dir, vars(args), samples=samples)
     print(f"saved {samples.shape} samples -> {run_dir}")
     return samples
