@@ -44,7 +44,8 @@ def _resize(x: jnp.ndarray, sizes: Sequence[int], axes: Sequence[int],
         in_size = x.shape[axis]
         if in_size == size:
             continue
-        W = jnp.asarray(_interp_matrix(in_size, size, align_corners))
+        W = jnp.asarray(_interp_matrix(in_size, size, align_corners),
+                        dtype=x.dtype)  # keep bf16 paths bf16
         x = jnp.moveaxis(jnp.tensordot(W, jnp.moveaxis(x, axis, 0), axes=1), 0, axis)
     return x
 
