@@ -25,11 +25,16 @@ def anneal_dsm_score_estimation(
     key: jax.Array,
     labels: Optional[jnp.ndarray] = None,
     anneal_power: float = 2.0,
+    sample_weight: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Discrete annealed DSM loss.
 
     score_fn(x, labels) -> score; samples: (B, *feature); sigmas: (L,).
-    Perturb with sigma[labels], target -noise / sigma^2, weight sigma^anneal_power.
+    Perturb with sigma[labels], target -noise / sigma^2, weight
+    sigma^anneal_power. `sample_weight` (B,) re-weights per-sample losses —
+    the jit-safe form of the reference's TV-based 1-D foreground filtering
+    (helpers/load_data.py:417-440 drops rows; dropping changes shapes, a
+    weight of 0 has the identical expected gradient).
     """
     key_labels, key_noise = jax.random.split(key)
     if labels is None:
@@ -42,6 +47,9 @@ def anneal_dsm_score_estimation(
     sq = jnp.sum(
         (scores - target).reshape(samples.shape[0], -1) ** 2, axis=-1)
     loss = 0.5 * sq * sigmas[labels] ** anneal_power
+    if sample_weight is not None:
+        return jnp.sum(loss * sample_weight) / jnp.maximum(
+            jnp.sum(sample_weight), 1e-12)
     return loss.mean()
 
 

@@ -42,6 +42,9 @@ def main(argv=None):
     p.add_argument("--data_root", default=None)
     p.add_argument("--use_mesh", action="store_true",
                    help="shard the batch over all local devices")
+    p.add_argument("--filter_th", type=float, default=None,
+                   help="TV foreground threshold for 1D tube batches "
+                        "(background tubes get zero loss weight)")
     p.add_argument("--override", action="append", default=[],
                    metavar="KEY=VALUE")
     p.add_argument("--seed", type=int, default=42)
@@ -62,8 +65,23 @@ def main(argv=None):
         kw["root_dir"] = args.data_root
     if "1D" not in args.ds_name and args.task_name != "Diffusion1D":
         kw.pop("flatten_type")
+    if args.ds_name == "SanityCheck1D":
+        # synthetic signals shaped to the model config
+        kw = {"num_channels": config.data.channels,
+              "num_features": config.data.image_size}
     train_ds = load_data(args.ds_name, "train", **kw)
     val_ds = load_data(args.ds_name, "val", **kw)
+    train_data, val_data = train_ds.data, val_ds.data
+    if args.task_name == "Diffusion3D":
+        # (N, T, k^2) tubes -> (N, k, k, T, 1) volumes (the 2D+time net's
+        # layout; reference reshapes at sample time, ncsn/models/ncsn3d.py:84)
+        import numpy as _np
+        win = int(_np.sqrt(train_data.shape[-1]))
+
+        def to3d(d):
+            N, T, KK = d.shape
+            return d.transpose(0, 2, 1).reshape(N, win, win, T)[..., None]
+        train_data, val_data = to3d(train_data), to3d(val_data)
 
     module, params = load_model(config, args.task_name)
     sigmas = get_sigmas(config)
@@ -72,7 +90,7 @@ def main(argv=None):
                               ema_decay=config.model.get("ema_rate", 0.999))
     step = make_score_train_step(module, sigmas, data_mode=args.mode,
                                  anneal_power=config.training.anneal_power,
-                                 mesh=mesh)
+                                 mesh=mesh, filter_th=args.filter_th)
     eval_step = make_score_eval_step(module, sigmas, data_mode=args.mode,
                                      anneal_power=config.training.anneal_power)
 
@@ -81,9 +99,9 @@ def main(argv=None):
     cfg = FitConfig(n_epochs=n_epochs, max_steps=max_steps,
                     log_dir=log_dir, seed=args.seed)
     state = fit(state, step,
-                batch_iterator(train_ds.data, batch_size, seed=args.seed),
+                batch_iterator(train_data, batch_size, seed=args.seed),
                 cfg, eval_step=eval_step,
-                val_iter_fn=batch_iterator(val_ds.data, batch_size,
+                val_iter_fn=batch_iterator(val_data, batch_size,
                                            shuffle=False, seed=0))
     print(f"done: {int(state.step)} steps; checkpoints under "
           f"{os.path.join(log_dir, 'ckpts')}")

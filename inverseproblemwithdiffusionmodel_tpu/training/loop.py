@@ -51,6 +51,7 @@ class FitConfig:
     seed: int = 42
     log_dir: str = "runs/default"
     keep_ckpts: int = 3
+    resume: bool = True       # restore the latest checkpoint if one exists
 
 
 def fit(
@@ -74,6 +75,11 @@ def fit(
     ckpt = Checkpointer(os.path.join(cfg.log_dir, "ckpts"),
                         max_to_keep=cfg.keep_ckpts,
                         track_best=eval_step is not None)
+    if cfg.resume and ckpt.latest_step() is not None:
+        # elastic restart: resume {params, ema, opt_state, step} from the
+        # latest checkpoint (the reference relies on Lightning ckpts only)
+        state = ckpt.restore(state)
+        logger.log(int(state.step), resumed=1.0)
     global_step = int(state.step)
     t0 = time.time()
     stop = False

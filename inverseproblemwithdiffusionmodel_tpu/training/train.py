@@ -39,10 +39,15 @@ def make_score_train_step(
     data_mode: str = "real-valued",
     anneal_power: float = 2.0,
     mesh: Optional[Mesh] = None,
+    filter_th: Optional[float] = None,
 ) -> Callable[[TrainState, jnp.ndarray, jax.Array], Tuple[TrainState, jnp.ndarray]]:
     """DSM train step. For 'real-imag' modes the loss is the mean of the DSM
     losses on the real and imaginary parts (reference:
     helpers/pl_helpers.py:127-138) — we batch both parts into one forward.
+
+    filter_th: TV-norm foreground threshold for 1-D tube batches; low-TV
+    (background) tubes get zero loss weight (the reference drops them,
+    helpers/load_data.py:417-440).
     """
     sigmas = jnp.asarray(sigmas)
 
@@ -51,15 +56,22 @@ def make_score_train_step(
             return module.apply({"params": params}, x, sigmas[labels])
 
         key_collate, key_dsm = jax.random.split(key)
+        weight = None
+        if filter_th is not None:
+            from ..utils.misc import filter_batch
+            weight = filter_batch(batch, filter_th)
         parts = collate_batch(batch, data_mode, key_collate)
         if isinstance(parts, list):
             # one forward over the interleaved [Re, Im] batch (2B); the
             # interleave shards cleanly over the mesh (see stack_parts)
             x = stack_parts(*parts)
+            if weight is not None:
+                weight = stack_parts(weight, weight)
         else:
             x = parts
         return anneal_dsm_score_estimation(score_fn, x, sigmas, key_dsm,
-                                           anneal_power=anneal_power)
+                                           anneal_power=anneal_power,
+                                           sample_weight=weight)
 
     def step(state: TrainState, batch: jnp.ndarray, key: jax.Array):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)

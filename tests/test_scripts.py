@@ -109,3 +109,23 @@ def test_generators_and_vol2slices(tmp_path):
     from inverseproblemwithdiffusionmodel_tpu.scripts.vol2slices import main
     main(["--root_dir", str(vol_dir), "--save_dir", str(tmp_path / "slices")])
     assert len(os.listdir(tmp_path / "slices")) == 3
+
+
+def test_train_ncsn_1d_and_3d_debug(tmp_path):
+    from inverseproblemwithdiffusionmodel_tpu.scripts.train_ncsn import main
+    tiny1d = ["--override", "model.ngf=8", "--override", "model.num_classes=6",
+              "--override", "data.channels=16", "--override", "data.image_size=8"]
+    state = main(["--ds_name", "SanityCheck1D", "--task_name", "Diffusion1D",
+                  "--mode", "real-imag", "--train_mode", "debug",
+                  "--batch_size", "4", "--filter_th", "0.001",
+                  "--log_dir", str(tmp_path / "run1d")] + tiny1d)
+    assert int(state.step) == 2
+
+    tiny3d = ["--override", "model.ngf=8", "--override", "model.num_classes=6",
+              "--override", "data.channels=16", "--override", "data.image_size=8",
+              "--override", "data.channels_3d=1"]
+    state = main(["--ds_name", "SanityCheck1D", "--task_name", "Diffusion3D",
+                  "--mode", "real-valued", "--train_mode", "debug",
+                  "--batch_size", "2",
+                  "--log_dir", str(tmp_path / "run3d")] + tiny3d)
+    assert int(state.step) == 2

@@ -194,3 +194,47 @@ def test_ald_visualization_hook(tmp_path, score_setup):
                                        str(tmp_path), step_lr=1e-5)
     hook(state, 0)
     assert (tmp_path / "samples_epoch0000.png").exists()
+
+
+def test_fit_resumes_from_checkpoint(tmp_path, score_setup):
+    """Elastic restart: a second fit() continues from the saved step."""
+    config, module, sigmas, params = score_setup
+    data = np.random.RandomState(0).rand(8, 16, 16, 1).astype(np.float32)
+    it = batch_iterator(data, 4, seed=0)
+    cfg = FitConfig(n_epochs=1, log_every=1, log_dir=str(tmp_path / "run"))
+
+    state = TrainState.create(
+        jax.tree_util.tree_map(jnp.copy, params), get_optimizer(config))
+    step = make_score_train_step(module, sigmas)
+    state = fit(state, step, it, cfg)
+    assert int(state.step) == 2
+
+    # fresh state, same log dir -> resumes at step 2, ends at 4
+    fresh = TrainState.create(
+        jax.tree_util.tree_map(jnp.copy, params), get_optimizer(config))
+    resumed = fit(fresh, step, it, cfg)
+    assert int(resumed.step) == 4
+
+
+def test_filtered_1d_training_weights_background():
+    """TV-filtered DSM: constant (background) tubes contribute no loss."""
+    from inverseproblemwithdiffusionmodel_tpu.losses.dsm import (
+        anneal_dsm_score_estimation)
+    from inverseproblemwithdiffusionmodel_tpu.utils.misc import filter_batch
+    sigmas = jnp.asarray([1.0, 0.1])
+    batch = jnp.concatenate([
+        jnp.sin(jnp.arange(8.0))[None, :, None] *
+        jnp.ones((2, 8, 4)),                                # dynamic
+        jnp.ones((2, 8, 4)) * 0.5,                          # flat background
+    ])
+    w = filter_batch(batch, th=0.05)
+    # dynamic rows kept; flat rows dropped (rows 0-1 forced kept anyway)
+    assert w.shape == (4,)
+    assert float(w[0]) == 1.0 and float(w[1]) == 1.0
+    assert float(w[2]) == 0.0 and float(w[3]) == 0.0
+    score = lambda x, labels: -x
+    l_w = anneal_dsm_score_estimation(score, batch, sigmas,
+                                      jax.random.PRNGKey(0), sample_weight=w)
+    l_u = anneal_dsm_score_estimation(score, batch, sigmas,
+                                      jax.random.PRNGKey(0))
+    assert np.isfinite(float(l_w)) and float(l_w) != float(l_u)
