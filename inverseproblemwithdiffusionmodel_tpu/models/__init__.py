@@ -13,6 +13,7 @@ from .registry import (
     load_model,
     make_score_fn,
     make_apply_fn,
+    make_tube_score_fn_3d,
     build_seg_unet,
     build_clf,
     register_model,

@@ -146,6 +146,26 @@ def make_apply_fn(module, params) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return apply_fn
 
 
+def make_tube_score_fn_3d(module, params, sigmas: jnp.ndarray, win: int
+                          ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Score adapter for a 3-D (2D+time) net consuming pixel-tube batches.
+
+    The 2D+time sampler feeds temporal nets (B', T, k^2) tubes; a 3-D net
+    wants (B', k, k, T, 1) volumes (reference: ncsn/models/ncsn3d.py:84,118
+    rearranges the same way inside the torch model). This wraps the reshape
+    so NCSN3D(Shallow) plugs into ald_2d_time as scorenet_T.
+    """
+    sigmas = jnp.asarray(sigmas)
+
+    def score_fn(tubes, labels):
+        B, T, KK = tubes.shape
+        vol = tubes.transpose(0, 2, 1).reshape(B, win, win, T, 1)
+        out = module.apply({"params": params}, vol, sigmas[labels])
+        return out.reshape(B, KK, T).transpose(0, 2, 1)
+
+    return score_fn
+
+
 def get_network(config):
     """Continuous-stack NCSNv2 size dispatch (reference:
     models/ncsnv2.py:31-40): <96 px -> NCSNv2, <=128 -> NCSNv2Deeper,

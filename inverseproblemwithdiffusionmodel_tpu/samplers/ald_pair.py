@@ -80,3 +80,61 @@ def ald_inverse_proximal_pair(
         x_re = x_re + sigma_last ** 2 * g_re
         x_im = x_im + sigma_last ** 2 * g_im
     return x_re, x_im
+
+
+def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
+                                    proximal,
+                                    config: ALDConfig = ALDConfig(),
+                                    lr_scaled: float = 1.0):
+    """Host-scheduled variant: one jitted sigma-LEVEL step (compiles like a
+    single forward) looped over levels on the host with async dispatch.
+
+    Numerically identical to `ald_inverse_proximal_pair`; use it where a
+    whole-chain `lax.scan` program is impractical to compile (e.g. the axon
+    remote-compile service rejects large programs). Returns
+    `recon(params, yr, yi, key) -> (xr, xi)`.
+    """
+    sigmas = jnp.asarray(sigmas)
+    sigma_last = sigmas[-1]
+    L = int(sigmas.shape[0])
+
+    @jax.jit
+    def level_step(params, xr, xi, yr, yi, c, sigma, key):
+        def score_fn(x, labels):
+            return module.apply({"params": params}, x, sigmas[labels])
+        step_size = config.step_lr * (sigma / sigma_last) ** 2
+
+        def inner(_, state):
+            xr, xi, key = state
+            key, k_re, k_im = jax.random.split(key, 3)
+            stacked = stack_parts(xr, xi)
+            grads = score_fn(stacked, _labels(stacked, c))
+            g_re, g_im = unstack_parts(grads)
+            xr = _langevin_update(xr, g_re, step_size, k_re)
+            xi = _langevin_update(xi, g_im, step_size, k_im)
+            xr, xi = proximal(xr, xi, yr, yi,
+                              config.step_lr * lr_scaled, 1.0)
+            return xr, xi, key
+
+        return jax.lax.fori_loop(0, config.n_steps_each, inner,
+                                 (xr, xi, key))
+
+    @jax.jit
+    def denoise(params, xr, xi):
+        def score_fn(x, labels):
+            return module.apply({"params": params}, x, sigmas[labels])
+        stacked = stack_parts(xr, xi)
+        grads = score_fn(stacked, _labels(stacked, L - 1))
+        g_re, g_im = unstack_parts(grads)
+        return xr + sigma_last ** 2 * g_re, xi + sigma_last ** 2 * g_im
+
+    def recon(params, yr, yi, key):
+        xr, xi = lin_tfm.conj_op(yr, yi)
+        for c in range(L):
+            xr, xi, key = level_step(params, xr, xi, yr, yi,
+                                     jnp.int32(c), sigmas[c], key)
+        if config.denoise:
+            xr, xi = denoise(params, xr, xi)
+        return xr, xi
+
+    return recon

@@ -17,7 +17,7 @@ import numpy as np
 from ._common import apply_overrides, add_common_args, save_artifacts, reload_model
 from ..config import load_config
 from ..data import load_cine
-from ..models.registry import make_score_fn
+from ..models.registry import make_score_fn, make_tube_score_fn_3d
 from ..operators import make_sense, L2Penalty
 from ..samplers import ALDConfig, ald_2d_time
 from ..samplers.sigmas import get_sigmas
@@ -91,7 +91,12 @@ def main(argv=None):
     @jax.jit
     def recon_fn(pS, pT, y, k):
         sS = make_score_fn(module_S, pS, sigmas_S)
-        sT = make_score_fn(module_T, pT, sigmas_T) if use_T else None
+        if not use_T:
+            sT = None
+        elif args.task_name_T == "Diffusion3D":
+            sT = make_tube_score_fn_3d(module_T, pT, sigmas_T, args.win_size)
+        else:
+            sT = make_score_fn(module_T, pT, sigmas_T)
         return ald_2d_time(
             sS, sT, sigmas_S, sigmas_T, y, lin_tfm, proximal, k,
             cfg, lr_scaled=args.lr_scaled, mode_T=args.mode_T,

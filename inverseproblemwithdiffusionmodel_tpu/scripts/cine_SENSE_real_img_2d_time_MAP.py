@@ -15,7 +15,7 @@ import numpy as np
 from ._common import apply_overrides, add_common_args, save_artifacts, reload_model
 from ..config import load_config
 from ..data import load_cine, transforms as dT
-from ..models.registry import make_score_fn
+from ..models.registry import make_score_fn, make_tube_score_fn_3d
 from ..operators import make_sense
 from ..samplers import MAPConfig, map_optimizer_2d_time
 from ..samplers.sigmas import get_sigmas
@@ -83,7 +83,9 @@ def main(argv=None):
     recon = jax.block_until_ready(jax.jit(
         lambda pS, pT, y: map_optimizer_2d_time(
             make_score_fn(module_S, pS, sigmas_S),
-            make_score_fn(module_T, pT, sigmas_T) if use_T else None,
+            (make_tube_score_fn_3d(module_T, pT, sigmas_T, args.win_size)
+             if use_T and args.task_name_T == "Diffusion3D"
+             else make_score_fn(module_T, pT, sigmas_T) if use_T else None),
             y, lin_tfm, cfg,
             prior_weight=args.prior_weight,
             spatial_step_weight=args.spatial_step_weight,

@@ -129,3 +129,33 @@ def test_train_ncsn_1d_and_3d_debug(tmp_path):
                   "--batch_size", "2",
                   "--log_dir", str(tmp_path / "run3d")] + tiny3d)
     assert int(state.step) == 2
+
+
+def test_pc_sampling_script(tmp_path):
+    from inverseproblemwithdiffusionmodel_tpu.scripts.pc_sampling import main
+    out = main(["--config", "ve/cifar10_ncsnpp_continuous",
+                "--num_samples", "2", "--save_dir", str(tmp_path),
+                "--override", "data.image_size=16",
+                "--override", "model.nf=16",
+                "--override", "model.num_res_blocks=1",
+                "--override", "model.ch_mult=[1, 2]",
+                "--override", "model.attn_resolutions=[8]",
+                "--override", "model.num_scales=10"])
+    assert out.shape == (2, 16, 16, 3)
+    assert np.isfinite(out).all()
+
+
+def test_cine_2d_time_with_3d_temporal_net(tmp_path):
+    from inverseproblemwithdiffusionmodel_tpu.scripts. \
+        cine_SENSE_real_img_2d_time import main
+    tiny_T = ["--override_T", "model.num_classes=6",
+              "--override_T", "recons.num_classes=6",
+              "--override_T", "model.ngf=8",
+              "--override_T", "data.channels=16",
+              "--override_T", "data.channels_3d=1",
+              "--override_T", "data.image_size=4"]
+    out = main(["--save_dir", str(tmp_path), "--mode_T", "diffusion1d",
+                "--task_name_T", "Diffusion3D",
+                "--image_size", "16", "--num_frames", "4",
+                "--win_size", "4", "--R", "8"] + TINY + tiny_T)
+    assert out.shape == (1, 4, 16, 16, 1)
