@@ -61,17 +61,18 @@ def make_dataset(n: int, size: int, seed: int) -> np.ndarray:
 
 def main(argv=None):
     p = argparse.ArgumentParser()
-    p.add_argument("--steps", type=int, default=1500)
+    p.add_argument("--steps", type=int, default=6000)
     p.add_argument("--size", type=int, default=64)
     p.add_argument("--ngf", type=int, default=32)
     p.add_argument("--batch", type=int, default=32)
     # levels: per-level contraction demand ln(sig_max/sig_end)/L must stay
     # under the Langevin drift rate n_steps*step_lr/sig_end^2 (~2.7%/level
     # at the reference step_lr) or the chain cannot anneal down
-    p.add_argument("--levels", type=int, default=1000)
+    p.add_argument("--levels", type=int, default=232)
     p.add_argument("--chains", type=int, default=8)
     p.add_argument("--R", type=int, default=8)
     p.add_argument("--n_train", type=int, default=400)
+    p.add_argument("--lr_scaled", type=float, default=30000.0)
     p.add_argument("--out", default="runs/demo")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
@@ -143,13 +144,18 @@ def main(argv=None):
     yi_b = jnp.tile(yi, (args.chains, 1, 1, 1))
     ema_params = state.eval_params
     # stability: per-level noise-variance decay 2*ln(sig_ratio)/L must sit
-    # well under the Langevin relaxation rate n_steps*2*step_lr/sig_end^2
-    # (the reference ACDC ladder has ~3x margin; match it)
-    cfg = ALDConfig(n_steps_each=5, step_lr=9e-7)
+    # well under the Langevin relaxation rate n_steps*2*step_lr/sig_end^2;
+    # these are the reference's MNIST recon settings (mnist.yml sampling:
+    # step_lr 6.2e-6, n_steps_each 5 -> 62%/level vs ~5%/level demand)
+    cfg = ALDConfig(n_steps_each=5, step_lr=6.2e-6)
 
+    # prox coefficient = step_lr * lr_scaled; our CG prox solves the
+    # normal equations exactly, so a coefficient of ~1e-2 per inner step
+    # gives firm data consistency (the reference's single-SGD-step prox is
+    # ~1000x weaker per step and leans on its 6933-step chains instead)
     recon = make_stepped_pair_reconstructor(
-        module, sigmas, op, PairL2Penalty(lin_tfm=op, num_iters=4), cfg,
-        lr_scaled=5.0)
+        module, sigmas, op, PairL2Penalty(lin_tfm=op, num_iters=6), cfg,
+        lr_scaled=args.lr_scaled)
 
     t0 = time.time()
     xr, xi = recon(ema_params, yr_b, yi_b, jax.random.PRNGKey(9))

@@ -77,8 +77,12 @@ def main(argv=None):
         module_T, params_T = reload_model(config_T, args.task_name_T,
                                           args.ckpt_dir_T)
 
-    cfg = MAPConfig(n_iters=args.n_iters or config_S.MAP.n_iters,
-                    lr=args.lr or config_S.MAP.lr)
+    # cine configs carry no MAP section (reference cine127.yml has none
+    # either); fall back to MAPConfig defaults
+    map_cfg = config_S.get("MAP")
+    cfg = MAPConfig(
+        n_iters=args.n_iters or (map_cfg.n_iters if map_cfg else 200),
+        lr=args.lr or (map_cfg.lr if map_cfg else 1e-3))
     t0 = time.time()
     recon = jax.block_until_ready(jax.jit(
         lambda pS, pT, y: map_optimizer_2d_time(

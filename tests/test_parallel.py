@@ -70,3 +70,54 @@ def test_repeat_measurement_nonzero_axis():
     m = jnp.ones((3, 1, 4, 4))
     out = repeat_measurement(m, 5, batch_axis=1)
     assert out.shape == (3, 5, 4, 4)
+
+
+def test_sharded_pair_reconstruction_matches_unsharded():
+    """Full pair ALD with the chain axis sharded over the 8-device mesh must
+    equal the unsharded run (chains are independent; no cross-chain comms)."""
+    import jax.numpy as jnp
+    from inverseproblemwithdiffusionmodel_tpu.operators import make_sense
+    from inverseproblemwithdiffusionmodel_tpu.operators.pair import (
+        PairSENSE, PairL2Penalty)
+    from inverseproblemwithdiffusionmodel_tpu.samplers import ALDConfig
+    from inverseproblemwithdiffusionmodel_tpu.samplers.ald_pair import (
+        ald_inverse_proximal_pair)
+    from inverseproblemwithdiffusionmodel_tpu.utils.misc import stack_parts
+
+    H = W = 16
+    mesh = make_mesh()
+    sense = make_sense("exp", 2, 8, 0.1, (H, W, 1), seed=0, num_frames=1)
+    pair = PairSENSE.from_complex(sense)
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    target = jnp.exp(-(((yy - 8) ** 2 + (xx - 6) ** 2) / 20.0))[None, :, :, None]
+    yr, yi = pair(target, jnp.zeros_like(target))
+    yr8 = jnp.tile(yr, (1, 8, 1, 1, 1))
+    yi8 = jnp.tile(yi, (1, 8, 1, 1, 1))
+    sigmas = jnp.exp(jnp.linspace(jnp.log(1.0), jnp.log(0.01), 10))
+
+    def score_fn(x, labels):
+        sig = sigmas[labels].reshape(-1, *([1] * (x.ndim - 1)))
+        tgt = stack_parts(jnp.broadcast_to(target, (x.shape[0] // 2, H, W, 1)),
+                          jnp.zeros((x.shape[0] // 2, H, W, 1)))
+        return (tgt - x) / sig ** 2
+
+    cfg = ALDConfig(n_steps_each=2, step_lr=3e-5)
+    prox = PairL2Penalty(lin_tfm=pair, num_iters=3)
+
+    @jax.jit
+    def recon(yr, yi, k):
+        return ald_inverse_proximal_pair(score_fn, sigmas, (yr, yi), pair,
+                                         prox, k, cfg, lr_scaled=50.0)
+
+    key = jax.random.PRNGKey(0)
+    xr_plain, xi_plain = recon(yr8, yi8, key)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    chain_sh = NamedSharding(mesh, P(None, "data"))   # coil, CHAIN, H, W, C
+    yr_s = jax.device_put(yr8, chain_sh)
+    yi_s = jax.device_put(yi8, chain_sh)
+    xr_sh, xi_sh = recon(yr_s, yi_s, key)
+    np.testing.assert_allclose(np.asarray(xr_plain), np.asarray(xr_sh),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xi_plain), np.asarray(xi_sh),
+                               rtol=1e-4, atol=1e-5)

@@ -159,3 +159,25 @@ def test_cine_2d_time_with_3d_temporal_net(tmp_path):
                 "--image_size", "16", "--num_frames", "4",
                 "--win_size", "4", "--R", "8"] + TINY + tiny_T)
     assert out.shape == (1, 4, 16, 16, 1)
+
+
+def test_cine_2d_time_map_script(tmp_path):
+    from inverseproblemwithdiffusionmodel_tpu.scripts. \
+        cine_SENSE_real_img_2d_time_MAP import main
+    tiny_T = ["--override_T", "model.num_classes=6",
+              "--override_T", "recons.num_classes=6",
+              "--override_T", "model.ngf=8"]
+    out = main(["--save_dir", str(tmp_path), "--mode_T", "tv",
+                "--image_size", "16", "--num_frames", "4",
+                "--win_size", "4", "--R", "8", "--n_iters", "5"]
+               + TINY + tiny_T)
+    assert out.shape == (1, 4, 16, 16, 1)
+
+
+def test_mnist_inv_clf_sampling_script(tmp_path):
+    from inverseproblemwithdiffusionmodel_tpu.scripts. \
+        mnist_inv_clf_sampling import main
+    out = main(["--save_dir", str(tmp_path), "--num_skip_lines", "8",
+                "--cls", "2"] + TINY)
+    assert out.shape == (1, 16, 16, 1)
+    assert np.isfinite(out).all()
