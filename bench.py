@@ -78,7 +78,7 @@ def main():
     # chain ensembles (README's "mean of 105"), and per-sample cost drops
     # ~6x from B=1 to B=8 on v5e - the aggregate is the production metric
     size, ngf, levels, n_steps, batch = (64, 32, 2, 2, 1) if on_cpu \
-        else (256, 128, 8, 3, 8)
+        else (256, 128, 8, 3, 16)
     size = int(os.environ.get("BENCH_SIZE", size))
     ngf = int(os.environ.get("BENCH_NGF", ngf))
     levels = int(os.environ.get("BENCH_LEVELS", levels))
@@ -110,6 +110,23 @@ def main():
     # ~4e8 bytes of constants into the lowered HLO (minutes to lower, and
     # remote-compile request bodies blow past size limits)
     mode = os.environ.get("BENCH_MODE", "steps")
+    dtype = os.environ.get("BENCH_DTYPE", "bf16" if not on_cpu else "f32")
+    if dtype == "bf16":
+        # quality-validated on trained weights: recon NRMSE/SSIM identical
+        # to f32 (examples/train_and_reconstruct_demo.py bf16 check)
+        fwd_module = module
+
+        class _BF16Module:
+            @staticmethod
+            def apply(variables, x, cond):
+                pbf = jax.tree_util.tree_map(
+                    lambda v: v.astype(jnp.bfloat16), variables["params"])
+                out = fwd_module.apply({"params": pbf},
+                                       x.astype(jnp.bfloat16),
+                                       cond.astype(jnp.bfloat16))
+                return out.astype(jnp.float32)
+
+        module = _BF16Module()
 
     @jax.jit
     def recon_scan(params, yr, yi, k):
@@ -180,7 +197,7 @@ def main():
     value = total_steps / elapsed
     print(json.dumps({
         "metric": "ALD chain-steps/sec/chip (ACDC R=8 SENSE, "
-                  f"{size}^2 ngf{ngf}, {batch} chains, "
+                  f"{size}^2 ngf{ngf}, {batch} chains, {dtype}, "
                   f"backend={jax.default_backend()})",
         "value": round(value, 3),
         "unit": "ALD_steps/sec/chip",

@@ -162,6 +162,32 @@ def main(argv=None):
     mean_mag = jnp.sqrt(xr ** 2 + xi ** 2).mean(axis=0)
     wall = time.time() - t0
 
+    # bf16 forward variant with the SAME trained weights: quality + speed
+    bf16_metrics = {}
+    if jax.default_backend() != "cpu":
+        class _BF16Wrap:
+            def apply(self, variables, x, cond):
+                pbf = jax.tree_util.tree_map(
+                    lambda v: v.astype(jnp.bfloat16), variables["params"])
+                out = module.apply({"params": pbf}, x.astype(jnp.bfloat16),
+                                   cond.astype(jnp.bfloat16))
+                return out.astype(jnp.float32)
+
+        recon_bf = make_stepped_pair_reconstructor(
+            _BF16Wrap(), sigmas, op, PairL2Penalty(lin_tfm=op, num_iters=6),
+            cfg, lr_scaled=args.lr_scaled)
+        t0 = time.time()
+        xrb, xib = recon_bf(ema_params, yr_b, yi_b, jax.random.PRNGKey(9))
+        mag_bf = jnp.sqrt(xrb ** 2 + xib ** 2).mean(axis=0)
+        bf16_metrics = {
+            "bf16_nrmse": float(nrmse(mag_bf, jnp.abs(truth[0]))),
+            "bf16_ssim": float(ssim(mag_bf[..., 0], jnp.abs(truth[0, ..., 0]))),
+            "bf16_wall_s": round(time.time() - t0, 1),
+        }
+        print(f"[demo] bf16 recon: NRMSE {bf16_metrics['bf16_nrmse']:.4f} / "
+              f"SSIM {bf16_metrics['bf16_ssim']:.4f} "
+              f"({bf16_metrics['bf16_wall_s']}s)", flush=True)
+
     t_mag = jnp.abs(truth[0])
     m = {
         "zf_nrmse": float(nrmse(zf_mag[0], t_mag)),
@@ -171,6 +197,7 @@ def main(argv=None):
         "recon_wall_s": round(wall, 1),
         "ald_steps": args.levels * 5,
         "chains": args.chains,
+        **bf16_metrics,
     }
     print(f"[demo] R={args.R}: ZF NRMSE {m['zf_nrmse']:.4f} / "
           f"SSIM {m['zf_ssim']:.4f}  ->  recon NRMSE {m['nrmse']:.4f} / "

@@ -42,6 +42,9 @@ def main(argv=None):
     p.add_argument("--data_root", default=None)
     p.add_argument("--use_mesh", action="store_true",
                    help="shard the batch over all local devices")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize forwards in backward (activation "
+                        "memory savings for 256^2 training)")
     p.add_argument("--filter_th", type=float, default=None,
                    help="TV foreground threshold for 1D tube batches "
                         "(background tubes get zero loss weight)")
@@ -90,7 +93,7 @@ def main(argv=None):
                               ema_decay=config.model.get("ema_rate", 0.999))
     step = make_score_train_step(module, sigmas, data_mode=args.mode,
                                  anneal_power=config.training.anneal_power,
-                                 mesh=mesh, filter_th=args.filter_th)
+                                 mesh=mesh, filter_th=args.filter_th, remat=args.remat)
     eval_step = make_score_eval_step(module, sigmas, data_mode=args.mode,
                                      anneal_power=config.training.anneal_power)
 

@@ -40,6 +40,7 @@ def make_score_train_step(
     anneal_power: float = 2.0,
     mesh: Optional[Mesh] = None,
     filter_th: Optional[float] = None,
+    remat: bool = False,
 ) -> Callable[[TrainState, jnp.ndarray, jax.Array], Tuple[TrainState, jnp.ndarray]]:
     """DSM train step. For 'real-imag' modes the loss is the mean of the DSM
     losses on the real and imaginary parts (reference:
@@ -48,12 +49,20 @@ def make_score_train_step(
     filter_th: TV-norm foreground threshold for 1-D tube batches; low-TV
     (background) tubes get zero loss weight (the reference drops them,
     helpers/load_data.py:417-440).
+    remat: rematerialize the forward in the backward pass (jax.checkpoint)
+    — trades ~1 extra forward of FLOPs for activation memory, enabling
+    full-resolution (256^2 ngf128) training batches on one chip.
     """
     sigmas = jnp.asarray(sigmas)
 
     def loss_fn(params, batch, key):
-        def score_fn(x, labels):
+        def raw_score(params, x, labels):
             return module.apply({"params": params}, x, sigmas[labels])
+        if remat:
+            raw_score = jax.checkpoint(raw_score)
+
+        def score_fn(x, labels):
+            return raw_score(params, x, labels)
 
         key_collate, key_dsm = jax.random.split(key)
         weight = None

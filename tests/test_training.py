@@ -238,3 +238,22 @@ def test_filtered_1d_training_weights_background():
     l_u = anneal_dsm_score_estimation(score, batch, sigmas,
                                       jax.random.PRNGKey(0))
     assert np.isfinite(float(l_w)) and float(l_w) != float(l_u)
+
+
+def test_remat_train_step_matches_plain(score_setup):
+    config, module, sigmas, params = score_setup
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (4, 16, 16, 1))
+    key = jax.random.PRNGKey(2)
+    s1 = TrainState.create(jax.tree_util.tree_map(jnp.copy, params),
+                           get_optimizer(config))
+    s2 = TrainState.create(jax.tree_util.tree_map(jnp.copy, params),
+                           get_optimizer(config))
+    step_plain = make_score_train_step(module, sigmas)
+    step_remat = make_score_train_step(module, sigmas, remat=True)
+    s1, l1 = step_plain(s1, batch, key)
+    s2, l2 = step_remat(s2, batch, key)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    a = jax.tree_util.tree_leaves(s1.params)[0]
+    b = jax.tree_util.tree_leaves(s2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                               atol=1e-7)
