@@ -20,8 +20,9 @@ import jax
 import jax.numpy as jnp
 import flax.linen as nn
 
-from ..ops.upfirdn2d import (upsample_2d, downsample_2d, upsample_conv_2d,
-                             conv_downsample_2d)
+from ..ops.upfirdn2d import upsample_conv_2d, conv_downsample_2d
+from ..ops.pallas_kernels import (fir_upsample_2x as upsample_2d_fn,
+                                  fir_downsample_2x as downsample_2d_fn)
 
 
 def default_init(scale: float = 1.0):
@@ -152,7 +153,7 @@ class Upsample(nn.Module):
                 h = ddpm_conv3x3(out_ch, name="Conv_0")(h)
             return h
         if not self.with_conv:
-            return upsample_2d(x, self.fir_kernel, factor=2)
+            return upsample_2d_fn(x, self.fir_kernel)
         # fused conv-transpose + FIR (StyleGAN2 Conv2d up=True)
         w = self.param("Conv2d_0_weight", default_init(),
                        (3, 3, C, out_ch))
@@ -182,7 +183,7 @@ class Downsample(nn.Module):
                                name="Conv_0")(x)
             return nn.avg_pool(x, (2, 2), strides=(2, 2))
         if not self.with_conv:
-            return downsample_2d(x, self.fir_kernel, factor=2)
+            return downsample_2d_fn(x, self.fir_kernel)
         w = self.param("Conv2d_0_weight", default_init(),
                        (3, 3, C, out_ch))
         b = self.param("Conv2d_0_bias", nn.initializers.zeros, (out_ch,))
@@ -256,11 +257,11 @@ class ResnetBlockBigGANpp(nn.Module):
         h = self.act(group_norm(C, "GroupNorm_0")(x))
 
         if self.up:
-            resample = (lambda v: upsample_2d(v, self.fir_kernel, factor=2)) \
+            resample = (lambda v: upsample_2d_fn(v, self.fir_kernel)) \
                 if self.fir else naive_upsample_2d
             h, x = resample(h), resample(x)
         elif self.down:
-            resample = (lambda v: downsample_2d(v, self.fir_kernel, factor=2)) \
+            resample = (lambda v: downsample_2d_fn(v, self.fir_kernel)) \
                 if self.fir else naive_downsample_2d
             h, x = resample(h), resample(x)
 

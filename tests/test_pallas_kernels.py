@@ -62,3 +62,27 @@ def test_downsample2x_matches_xla(k, gain):
     assert out.shape == ref.shape == (2, 4, 4, 8)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_fir_dispatchers_fwd_and_grad_match_xla():
+    """Auto-dispatch wrappers: forward equals XLA impl; VJP (via
+    linear_transpose) equals XLA autodiff."""
+    import jax
+    from inverseproblemwithdiffusionmodel_tpu.ops.pallas_kernels import (
+        fir_upsample_2x, fir_downsample_2x)
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 4))
+    k = (1, 3, 3, 1)
+    np.testing.assert_allclose(np.asarray(fir_upsample_2x(x, k)),
+                               np.asarray(upsample_2d(x, k, factor=2)),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(fir_downsample_2x(x, k)),
+                               np.asarray(downsample_2d(x, k, factor=2)),
+                               atol=1e-5)
+    f1 = lambda v: jnp.sum(jnp.sin(fir_upsample_2x(v, k)))
+    f2 = lambda v: jnp.sum(jnp.sin(upsample_2d(v, k, factor=2)))
+    np.testing.assert_allclose(np.asarray(jax.grad(f1)(x)),
+                               np.asarray(jax.grad(f2)(x)), atol=1e-5)
+    g1 = lambda v: jnp.sum(jnp.sin(fir_downsample_2x(v, k)))
+    g2 = lambda v: jnp.sum(jnp.sin(downsample_2d(v, k, factor=2)))
+    np.testing.assert_allclose(np.asarray(jax.grad(g1)(x)),
+                               np.asarray(jax.grad(g2)(x)), atol=1e-5)
