@@ -18,6 +18,11 @@ from .ald_variants import (
     ald_inverse_clf,
     ald_inverse_clf_proximal,
 )
+from .ald_pair import (
+    ald_inverse_proximal_pair,
+    ald_2d_time_pair,
+    make_stepped_pair_reconstructor,
+)
 from .map_opt import (
     MAPConfig,
     map_optimizer,

@@ -144,3 +144,49 @@ def test_pair_single_coil():
     fr, fi = pair(jnp.real(z), jnp.imag(z))
     np.testing.assert_allclose(np.asarray(fr + 1j * fi), np.asarray(ref),
                                atol=2e-5)
+
+
+def test_pair_2d_time_matches_complex(sense_pair):
+    """Pair-form 2D+time sampler == complex sampler (same keys), tv and
+    diffusion1d temporal modes."""
+    from inverseproblemwithdiffusionmodel_tpu.samplers import (
+        ald_2d_time, ald_2d_time_pair)
+    T = 4
+    sense, pair = sense_pair
+    # per-frame broadcastable pipeline: reuse the module-level SENSE (static
+    # mask) with B*T frames
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    base = jnp.exp(-(((yy - 8) ** 2 + (xx - 6) ** 2) / 20.0))
+    vol = jnp.stack([base * (0.8 + 0.05 * t) for t in range(T)])[None]
+    frames = vol.reshape(T, H, W)[..., None].astype(jnp.complex64)
+    y = sense(frames)                       # (S, T, H, W, 1)
+    sigmas = sigma_ladder(1.0, 0.01, 12)
+    sigmas_T = sigma_ladder(0.5, 0.01, 6)
+
+    def score_S(x, labels):
+        sig = sigmas[labels].reshape(-1, *([1] * (x.ndim - 1)))
+        tgt = stack_parts(jnp.real(frames), jnp.imag(frames))
+        return (tgt - x) / sig ** 2
+
+    def score_T(x, labels):   # weak pull to zero on tubes (B', T, k^2)
+        sig = sigmas[labels].reshape(-1, *([1] * (x.ndim - 1)))
+        return -x / (sig ** 2 + 10.0)
+
+    from inverseproblemwithdiffusionmodel_tpu.operators import L2Penalty
+    from inverseproblemwithdiffusionmodel_tpu.operators.pair import PairL2Penalty
+    cfg = ALDConfig(n_steps_each=2, step_lr=3e-5)
+    for mode_T in ("tv", "diffusion1d"):
+        ref = ald_2d_time(score_S, score_T, sigmas, sigmas_T, y, sense,
+                          L2Penalty(lin_tfm=sense, num_iters=3),
+                          jax.random.PRNGKey(0), cfg, lr_scaled=50.0,
+                          mode_T=mode_T, win_size=4, num_frames=T)
+        xr, xi = ald_2d_time_pair(
+            score_S, score_T, sigmas, sigmas_T,
+            (jnp.real(y), jnp.imag(y)), pair,
+            PairL2Penalty(lin_tfm=pair, num_iters=3),
+            jax.random.PRNGKey(0), cfg, lr_scaled=50.0, mode_T=mode_T,
+            win_size=4, num_frames=T)
+        np.testing.assert_allclose(np.asarray(xr), np.real(np.asarray(ref)),
+                                   atol=2e-3, err_msg=mode_T)
+        np.testing.assert_allclose(np.asarray(xi), np.imag(np.asarray(ref)),
+                                   atol=2e-3, err_msg=mode_T)
