@@ -109,9 +109,49 @@ _SDE_SETTINGS = {
 def get_continuous_config(name: str) -> Config:
     """Build a leaf config from a reference-style path, e.g.
     've/cifar10_ncsnpp_continuous', 'vp/cifar10_ddpmpp_continuous',
-    'subvp/cifar10_ddpmpp_deep_continuous'.
+    'subvp/cifar10_ddpmpp_deep_continuous', and the nested discrete trees
+    've/ncsnv2/cifar10', 've/ncsn/cifar10', 'vp/ddpm/cifar10'
+    (reference: configs/ve/ncsnv2/cifar10.py etc.).
     """
-    sde_name, leaf = name.split("/")
+    parts_path = name.split("/")
+    if len(parts_path) == 3:
+        sde_name, model_key, dataset = parts_path
+        cfg = get_default_configs(dataset)
+        if model_key == "ncsnv2":
+            # reference: configs/ve/ncsnv2/cifar10.py (discrete NCSNv2)
+            return cfg.replace(**{
+                "training.sde": "vesde", "training.continuous": False,
+                "sampling.predictor": "none", "sampling.corrector": "ald",
+                "sampling.n_steps_each": 5, "sampling.snr": 0.176,
+                "model.name": "ncsnv2_64", "model.scale_by_sigma": True,
+                "model.num_scales": 232, "model.ema_rate": 0.999,
+                "model.normalization": "InstanceNorm++",
+                "model.nonlinearity": "elu", "model.nf": 128,
+                "model.ngf": 128, "model.interpolation": "bilinear",
+                "optim.lr": 1e-4, "optim.grad_clip": 0.0})
+        if model_key == "ncsn":
+            # reference: configs/ve/ncsn/cifar10.py (NCSN v1)
+            return cfg.replace(**{
+                "training.sde": "vesde", "training.continuous": False,
+                "sampling.predictor": "none", "sampling.corrector": "ald",
+                "sampling.n_steps_each": 100, "sampling.snr": 0.316,
+                "model.name": "ncsn", "model.scale_by_sigma": False,
+                "model.sigma_max": 1.0, "model.num_scales": 10,
+                "model.num_classes": 10, "model.ema_rate": 0.0,
+                "model.normalization": "InstanceNorm++",
+                "model.nonlinearity": "elu", "model.nf": 128,
+                "model.ngf": 128})
+        if model_key == "ddpm":
+            # reference: configs/vp/ddpm/cifar10.py
+            return cfg.replace(**{
+                "training.sde": "vpsde", "training.continuous": False,
+                "training.reduce_mean": True, "data.centered": True,
+                "sampling.predictor": "ancestral_sampling",
+                "sampling.corrector": "none",
+                **{f"model.{k}": v for k, v in _MODEL_PRESETS["ddpm"].items()}})
+        raise KeyError(f"unknown nested config tree {name!r}")
+
+    sde_name, leaf = parts_path
     parts = leaf.split("_")
     dataset = parts[0]
     model_key = parts[1]

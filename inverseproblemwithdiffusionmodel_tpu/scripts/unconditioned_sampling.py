@@ -48,11 +48,15 @@ def main(argv=None):
         denoise=config.sampling.get("denoise", True))
     key = jax.random.PRNGKey(args.seed)
 
-    sampler = jax.jit(lambda p, k: ald_unconditional_sampler(
-        make_score_fn(module, p, sigmas), sigmas, shape, k, cfg))
+    sampler = jax.jit(lambda p, x0, k: ald_unconditional_sampler(
+        make_score_fn(module, p, sigmas), sigmas, shape, k, cfg, x_init=x0))
+    key, k_init = jax.random.split(key)
+    x_init = jax.random.uniform(k_init, shape)
     if args.use_mesh:
-        make_mesh()  # chains are batch rows; jit shards them automatically
-    samples = jax.device_get(sampler(params, key))
+        # chains are independent batch rows: shard them over the mesh
+        mesh = make_mesh()
+        x_init = shard_batch(x_init, mesh)
+    samples = jax.device_get(sampler(params, x_init, key))
     run_dir = save_artifacts(args.save_dir, vars(args), samples=samples)
     print(f"saved {samples.shape} samples -> {run_dir}")
     return samples

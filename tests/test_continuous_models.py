@@ -159,3 +159,14 @@ def test_score_net_simple():
     t = jnp.array([0.3, 0.7])
     p = m.init(jax.random.PRNGKey(0), x, t)
     assert m.apply(p, x, t).shape == x.shape
+
+
+def test_nested_discrete_config_trees():
+    for name, model_name in [("ve/ncsnv2/cifar10", "ncsnv2_64"),
+                             ("ve/ncsn/cifar10", "ncsn"),
+                             ("vp/ddpm/cifar10", "ddpm")]:
+        cfg = get_continuous_config(name)
+        assert cfg.model.name == model_name
+        assert cfg.training.continuous is False
+    cfg = get_continuous_config("ve/ncsnv2/cifar10")
+    assert cfg.sampling.corrector == "ald" and cfg.model.num_scales == 232

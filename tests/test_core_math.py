@@ -163,3 +163,20 @@ def test_filter_batch_mask():
     batch = jnp.concatenate([flat, flat, flat, wiggly], axis=0)
     mask = filter_batch(batch, th=0.05)
     np.testing.assert_array_equal(np.asarray(mask), [1, 1, 0, 1])
+
+
+def test_ladder_stability_check():
+    import warnings
+    from inverseproblemwithdiffusionmodel_tpu.samplers import (
+        sigma_ladder, check_ladder_stability)
+    # reference ACDC ladder: well above margin
+    acdc = sigma_ladder(348.0, 0.01, 2311)
+    r = check_ladder_stability(acdc, 3, 9e-7)
+    assert r > 3.0
+    # a 96-level ladder over the same range is under-relaxed -> warns
+    bad = sigma_ladder(19.8, 0.01, 96)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        r_bad = check_ladder_stability(bad, 3, 9e-7)
+        assert r_bad < 1.0
+        assert any("under-relaxed" in str(x.message) for x in w)

@@ -181,3 +181,13 @@ def test_mnist_inv_clf_sampling_script(tmp_path):
                 "--cls", "2"] + TINY)
     assert out.shape == (1, 16, 16, 1)
     assert np.isfinite(out).all()
+
+
+def test_acdc_sense_use_mesh(tmp_path):
+    """Ensemble chains sharded over the 8-device virtual mesh."""
+    from inverseproblemwithdiffusionmodel_tpu.scripts.acdc_SENSE_real_img \
+        import main
+    out = main(["--save_dir", str(tmp_path), "--num_samples", "8",
+                "--R", "8", "--use_mesh"] + TINY)
+    assert out.shape == (8, 16, 16, 1)
+    assert np.isfinite(np.abs(out)).all()
