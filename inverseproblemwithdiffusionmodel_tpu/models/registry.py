@@ -52,8 +52,21 @@ for _name, _ctor in [
     # continuous stack (reference: models/utils.py registry names)
     ("ncsnpp", NCSNpp), ("ddpm", DDPM),
     ("ncsn", NCSN), ("ncsn_deeper", NCSNdeeper),
+    # size-suffixed aliases (reference: models/ncsnv2.py registers
+    # ncsnv2_64/128/256 for the <96 / <=128 / <=256 variants)
+    ("ncsnv2_64", NCSNv2), ("ncsnv2_128", NCSNv2Deeper),
+    ("ncsnv2_256", NCSNv2Deepest),
 ]:
     _MODELS[_name] = _ctor
+
+
+def create_model(config):
+    """Instantiate the registered model named by `config.model.name`
+    (reference: models/utils.py:88-94 — the `.to(device)` +
+    `torch.nn.DataParallel` wrapping has no analog here: placement and
+    replication are sharding decisions made at `module.init`/apply time
+    via the mesh, parallel/mesh.py)."""
+    return get_model(config.model.name)(config=config)
 
 
 def build_seg_unet(general_config=None) -> UNet:
