@@ -44,11 +44,13 @@ ScoreFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
 @dataclasses.dataclass(frozen=True)
 class ALDConfig:
     """Static sampler parameters (reference `params` dict,
-    ALD_optimizers.py:50-56)."""
+    ALD_optimizers.py:50-56). snapshot_every > 0 emits a diagnostics
+    callback every that-many levels (see `_maybe_snapshot`)."""
     n_steps_each: int = 3
     step_lr: float = 9e-7
     denoise: bool = True
     final_only: bool = True
+    snapshot_every: int = 0
 
 
 def _labels(x: jnp.ndarray, c) -> jnp.ndarray:
@@ -59,6 +61,25 @@ def _langevin_update(x: jnp.ndarray, grad: jnp.ndarray, step_size,
                      key: jax.Array) -> jnp.ndarray:
     noise = jax.random.normal(key, x.shape, x.dtype)
     return x + step_size * grad + noise * jnp.sqrt(step_size * 2.0)
+
+
+def _maybe_snapshot(snapshot_fn, config: ALDConfig, c, sigma, *arrays):
+    """Optional mid-chain diagnostics (reference saves snapshot images and
+    temporal profiles inside its Python loop, ALD_optimizers.py:203-213,
+    556-581). TPU-native form: a `jax.debug.callback` island gated by
+    `lax.cond` on the level index — the scan stays one compiled program,
+    the callback fires asynchronously only on emitting levels, and costs
+    nothing when snapshot_every == 0 (no trace-time emission at all).
+
+    snapshot_fn(level:int, sigma:float, *arrays:np.ndarray) runs on host.
+    """
+    if snapshot_fn is None or config.snapshot_every <= 0:
+        return
+
+    def _emit():
+        jax.debug.callback(snapshot_fn, c, sigma, *arrays)
+
+    lax.cond(c % config.snapshot_every == 0, _emit, lambda: None)
 
 
 # ---------------------------------------------------------------------------
@@ -72,11 +93,14 @@ def ald_unconditional_sampler(
     key: jax.Array,
     config: ALDConfig = ALDConfig(),
     x_init: Optional[jnp.ndarray] = None,
+    snapshot_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Prior sampling by annealed Langevin dynamics
     (reference: ALD_optimizers.py:66-137 with default hooks).
 
     shape: (B, *feature). x starts at U(0, 1) unless x_init is given.
+    snapshot_fn(level, sigma, x): optional host diagnostics every
+    config.snapshot_every levels.
     """
     key, key_init = jax.random.split(key)
     x = jax.random.uniform(key_init, shape) if x_init is None else x_init
@@ -95,6 +119,7 @@ def ald_unconditional_sampler(
             return _langevin_update(x, grad, step_size, kn), key
 
         x, key = lax.fori_loop(0, config.n_steps_each, inner, (x, key))
+        _maybe_snapshot(snapshot_fn, config, c, sigma, x)
         return (x, key), None
 
     (x, key), _ = lax.scan(level_step, (x, key),
@@ -164,9 +189,12 @@ def ald_inverse_seg_proximal_real_imag(
     seg_start_time: float = 1.0,
     seg_step_type: str = "linear",
     seg_mode: str = "full",
+    snapshot_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Headline single-coil / SENSE reconstruction sampler
     (reference: ALD_optimizers.py:161-327).
+    snapshot_fn(level, sigma, x_re, x_im): optional host diagnostics every
+    config.snapshot_every levels (the reference's snapshot saves, :203-213).
 
     Initializes at A^H y; per (level, step): one batched Re/Im score forward,
     optional segmentation-guidance gradient (ramped by `seg_start_time`),
@@ -211,6 +239,7 @@ def ald_inverse_seg_proximal_real_imag(
 
         x_re, x_im, key = lax.fori_loop(0, config.n_steps_each, inner,
                                         (x_re, x_im, key))
+        _maybe_snapshot(snapshot_fn, config, c, sigma, x_re, x_im)
         return (x_re, x_im, key), None
 
     (x_re, x_im, key), _ = lax.scan(
@@ -261,9 +290,13 @@ def ald_2d_time(
     if_random_shift: bool = False,
     win_size: int = 8,
     num_frames: Optional[int] = None,
+    snapshot_fn: Optional[Callable] = None,
 ) -> jnp.ndarray:
     """Factorized 2D+time cine reconstruction
     (reference: ALD_optimizers.py:330-554).
+    snapshot_fn(level, sigma, x_re, x_im) with (B, T, H, W, C) parts:
+    optional host diagnostics every config.snapshot_every levels (the
+    reference's `_screenshot` temporal profiles, :556-581).
 
     measurement: (num_sens, B*T, H, W, C) complex. Per (level, step):
       spatial step - 2-D score on all frames (Re/Im batched into 2*B*T),
@@ -361,6 +394,8 @@ def ald_2d_time(
             return x, key
 
         x, key = lax.fori_loop(0, config.n_steps_each, inner, (x, key))
+        _maybe_snapshot(snapshot_fn, config, c, sigma,
+                        jnp.real(x), jnp.imag(x))
         return (x, key), None
 
     (x, key), _ = lax.scan(level_step, (x, key),

@@ -7,7 +7,8 @@ from .train import (make_score_train_step, make_clf_train_step,
                     make_continuous_score_train_step)
 from .checkpoint import Checkpointer
 from .loop import FitConfig, MetricsLogger, fit, batch_iterator
-from .callbacks import make_ald_visualization_hook, make_pc_visualization_hook
+from .callbacks import (make_ald_visualization_hook,
+                        make_pc_visualization_hook, make_snapshot_hook)
 
 __all__ = [
     "TrainState", "get_optimizer", "make_score_train_step",
@@ -15,4 +16,5 @@ __all__ = [
     "make_continuous_score_train_step",
     "Checkpointer", "FitConfig", "MetricsLogger", "fit", "batch_iterator",
     "make_ald_visualization_hook", "make_pc_visualization_hook",
+    "make_snapshot_hook",
 ]

@@ -49,6 +49,45 @@ def make_ald_visualization_hook(module, sigmas: jnp.ndarray,
     return hook
 
 
+def make_snapshot_hook(out_dir: str, prefix: str = "snap",
+                       save_png: bool = True, temporal: bool = False):
+    """Mid-chain sampler diagnostics (reference: ALD_optimizers.py:203-213
+    snapshot saves, :556-581 `_screenshot` temporal profiles).
+
+    Returns snapshot_fn(level, sigma, *parts) for the samplers'
+    `snapshot_fn=` parameter (fires via jax.debug.callback every
+    ALDConfig.snapshot_every levels): saves the magnitude as
+    `{prefix}_level{c}.npy`, a PNG of the first sample, and — when
+    `temporal` and the state is (B, T, H, W, C) — the temporal pixel
+    profile figure.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+
+    def snapshot_fn(level, sigma, *parts):
+        level = int(level)
+        parts = [np.asarray(p) for p in parts]
+        mag = (np.abs(parts[0]) if len(parts) == 1
+               else np.sqrt(parts[0] ** 2 + parts[1] ** 2))
+        np.save(os.path.join(out_dir, f"{prefix}_level{level:05d}.npy"), mag)
+        with open(os.path.join(out_dir, f"{prefix}_log.txt"), "a") as f:
+            f.write(f"level {level} sigma {float(sigma):.6g} "
+                    f"|x| mean {mag.mean():.6g} max {mag.max():.6g}\n")
+        if not save_png:
+            return
+        from ..utils.visualizations import vis_images
+        img = mag[0]
+        if temporal and img.ndim == 4:          # (T, H, W, C): frame 0 + profile
+            from ..utils.visualizations import grid_of_temporal_samples
+            grid_of_temporal_samples(
+                img, save_path=os.path.join(
+                    out_dir, f"{prefix}_level{level:05d}_temporal.png"))
+            img = img[0]
+        vis_images(img, save_path=os.path.join(
+            out_dir, f"{prefix}_level{level:05d}.png"))
+
+    return snapshot_fn
+
+
 def make_pc_visualization_hook(module, sde, shape, out_dir: str,
                                sampling_config=None, every_n_epochs: int = 1,
                                seed: int = 0):

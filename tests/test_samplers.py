@@ -237,3 +237,40 @@ def test_whole_recon_is_jittable():
 
     out = recon(y, jax.random.PRNGKey(0))
     assert out.shape == x_true.shape
+
+
+def test_snapshot_hook_fires(tmp_path):
+    """snapshot_every gates a jax.debug.callback inside the scan; the chain
+    stays a single jitted program (reference diagnostics:
+    ALD_optimizers.py:203-213)."""
+    from inverseproblemwithdiffusionmodel_tpu.training import make_snapshot_hook
+    x_true = make_target()
+    op = RandomUndersamplingFourier.create(8, 0.1, (H, W, 1), seed=0,
+                                           num_frames=1)
+    y = op(x_true)
+    sigmas = sigma_ladder(1.0, 0.01, 10)
+    score = make_score_fn(x_true, sigmas)
+    cfg = ALDConfig(n_steps_each=1, step_lr=3e-5, snapshot_every=4)
+    calls = []
+
+    def probe(level, sigma, x_re, x_im):
+        calls.append((int(level), float(sigma)))
+
+    out = jax.jit(lambda y, k: ald_inverse_seg_proximal_real_imag(
+        score, sigmas, y, op, SingleCoil(lin_tfm=op), k, cfg,
+        lr_scaled=10.0, snapshot_fn=probe))(y, jax.random.PRNGKey(0))
+    jax.block_until_ready(out)
+    jax.effects_barrier()
+    assert [c for c, _ in sorted(calls)] == [0, 4, 8]
+
+    # the file-writing hook factory
+    hook = make_snapshot_hook(str(tmp_path), temporal=False)
+    out2 = ald_inverse_seg_proximal_real_imag(
+        score, sigmas, y, op, SingleCoil(lin_tfm=op), jax.random.PRNGKey(1),
+        cfg, lr_scaled=10.0, snapshot_fn=hook)
+    jax.block_until_ready(out2)
+    jax.effects_barrier()
+    import os
+    files = sorted(os.listdir(tmp_path))
+    assert "snap_level00000.npy" in files and "snap_level00008.png" in files
+    assert "snap_log.txt" in files
