@@ -140,7 +140,10 @@ def get_continuous_config(name: str) -> Config:
                 "model.num_classes": 10, "model.ema_rate": 0.0,
                 "model.normalization": "InstanceNorm++",
                 "model.nonlinearity": "elu", "model.nf": 128,
-                "model.ngf": 128})
+                "model.ngf": 128,
+                # reference: configs/ve/ncsn/cifar10.py:50,55 — lr 1e-3,
+                # grad clipping disabled (-1)
+                "optim.lr": 1e-3, "optim.grad_clip": -1.0})
         if model_key == "ddpm":
             # reference: configs/vp/ddpm/cifar10.py
             return cfg.replace(**{

@@ -3,11 +3,12 @@ replacement for the reference's DataParallel + batch-row ensembles,
 SURVEY.md §2.7)."""
 from .mesh import (DATA_AXIS, MODEL_AXIS, make_mesh, data_sharding,
                    replicated, shard_batch, replicate, pad_to_multiple)
-from .ensemble import (repeat_measurement, ensemble_keys,
+from .ensemble import (repeat_measurement, ensemble_keys, shard_chain_axis,
                        run_sharded_ensemble, ensemble_mean_std)
 
 __all__ = [
     "DATA_AXIS", "MODEL_AXIS", "make_mesh", "data_sharding", "replicated",
     "shard_batch", "replicate", "pad_to_multiple", "repeat_measurement",
-    "ensemble_keys", "run_sharded_ensemble", "ensemble_mean_std",
+    "ensemble_keys", "shard_chain_axis", "run_sharded_ensemble",
+    "ensemble_mean_std",
 ]

@@ -17,7 +17,7 @@ import jax
 import jax.numpy as jnp
 from jax.sharding import Mesh
 
-from .mesh import data_sharding, replicated
+from .mesh import DATA_AXIS, data_sharding, replicated
 
 
 def repeat_measurement(measurement: jnp.ndarray, num_samples: int,
@@ -33,6 +33,24 @@ def ensemble_keys(key: jax.Array, num_samples: int) -> jax.Array:
     """Independent per-chain PRNG keys via fold_in."""
     return jax.vmap(lambda i: jax.random.fold_in(key, i))(
         jnp.arange(num_samples))
+
+
+def shard_chain_axis(x: jnp.ndarray, mesh: Mesh, axis: int = 0
+                     ) -> Tuple[jnp.ndarray, int]:
+    """Pad the chain axis up to a multiple of the mesh data-axis size (edge
+    rows — wasted compute, sliced off after) and shard it. Returns
+    (sharded array, original chain count). This is THE way scripts place an
+    ensemble on the mesh: device_put of an indivisible batch raises, and
+    hand-built PartitionSpecs drift.
+    """
+    import numpy as np
+    from .mesh import pad_to_multiple
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    padded, n = pad_to_multiple(np.asarray(x), mesh.shape[DATA_AXIS], axis)
+    spec = [None] * padded.ndim
+    spec[axis] = DATA_AXIS
+    return jax.device_put(jnp.asarray(padded),
+                          NamedSharding(mesh, P(*spec))), n
 
 
 def run_sharded_ensemble(

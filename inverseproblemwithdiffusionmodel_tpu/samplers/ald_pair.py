@@ -14,7 +14,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
-from .ald import ALDConfig, ScoreFn, _labels, _langevin_update
+from .ald import (ALDConfig, ScoreFn, _labels, _langevin_update,
+                  _maybe_snapshot)
 from .sigmas import get_lh_weights
 from ..utils.misc import stack_parts, unstack_parts
 
@@ -32,8 +33,11 @@ def ald_inverse_proximal_pair(
     seg_label: Optional[jnp.ndarray] = None,
     seg_lamda: float = 1.0,
     seg_start_time: float = 1.0,
+    snapshot_fn: Optional[Callable] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """measurement: (yr, yi). Returns the reconstruction pair (xr, xi)."""
+    """measurement: (yr, yi). Returns the reconstruction pair (xr, xi).
+    snapshot_fn(level, sigma, x_re, x_im): optional host diagnostics every
+    config.snapshot_every levels (see ald._maybe_snapshot)."""
     yr, yi = measurement
     x_re, x_im = lin_tfm.conj_op(yr, yi)
     sigma_last = sigmas[-1]
@@ -67,6 +71,7 @@ def ald_inverse_proximal_pair(
 
         x_re, x_im, key = lax.fori_loop(0, config.n_steps_each, inner,
                                         (x_re, x_im, key))
+        _maybe_snapshot(snapshot_fn, config, c, sigma, x_re, x_im)
         return (x_re, x_im, key), None
 
     (x_re, x_im, key), _ = lax.scan(
@@ -98,6 +103,7 @@ def ald_2d_time_pair(
     if_random_shift: bool = False,
     win_size: int = 8,
     num_frames: Optional[int] = None,
+    snapshot_fn: Optional[Callable] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Pair-form factorized 2D+time reconstruction — same semantics as
     samplers.ald.ald_2d_time (reference: ALD_optimizers.py:330-554) with the
@@ -208,6 +214,7 @@ def ald_2d_time_pair(
 
         xr, xi, key = lax.fori_loop(0, config.n_steps_each, inner,
                                     (xr, xi, key))
+        _maybe_snapshot(snapshot_fn, config, c, sigma, xr, xi)
         return (xr, xi, key), None
 
     (xr, xi, key), _ = lax.scan(
@@ -219,7 +226,8 @@ def ald_2d_time_pair(
 def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
                                     proximal,
                                     config: ALDConfig = ALDConfig(),
-                                    lr_scaled: float = 1.0):
+                                    lr_scaled: float = 1.0,
+                                    snapshot_fn: Optional[Callable] = None):
     """Host-scheduled variant: one jitted sigma-LEVEL step (compiles like a
     single forward) looped over levels on the host with async dispatch.
 
@@ -267,6 +275,10 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
         for c in range(L):
             xr, xi, key = level_step(params, xr, xi, yr, yi,
                                      jnp.int32(c), sigmas[c], key)
+            # host-stepped loop: call the diagnostics hook directly
+            if (snapshot_fn is not None and config.snapshot_every > 0
+                    and c % config.snapshot_every == 0):
+                snapshot_fn(c, float(sigmas[c]), xr, xi)
         if config.denoise:
             xr, xi = denoise(params, xr, xi)
         return xr, xi

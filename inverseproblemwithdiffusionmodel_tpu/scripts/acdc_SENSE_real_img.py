@@ -16,10 +16,11 @@ import numpy as np
 from ._common import apply_overrides, add_common_args, save_artifacts, reload_model
 from ..config import load_config
 from ..data import load_data
-from ..models.registry import make_score_fn, make_apply_fn
+from ..models.registry import make_score_fn
 from ..operators import make_sense, L2Penalty
 from ..parallel import repeat_measurement, ensemble_mean_std
-from ..samplers import ALDConfig, ald_inverse_seg_proximal_real_imag
+from ..samplers import (ALDConfig, ald_inverse_seg_proximal_real_imag,
+                        check_ladder_stability)
 from ..samplers.sigmas import get_sigmas
 from ..utils.misc import add_phase
 from ..utils.metrics import nrmse, ssim
@@ -63,7 +64,6 @@ def main(argv=None):
 
     module, params = reload_model(config, "Diffusion", args.ckpt_dir)
     sigmas = get_sigmas(config, "recons")
-    score_fn = make_score_fn(module, params, sigmas)
 
     use_seg = args.seg_start_time < 1.0
     seg_module, seg_params, seg_label_b = None, 0, None
@@ -73,29 +73,34 @@ def main(argv=None):
 
     cfg = ALDConfig(n_steps_each=config.sampling.n_steps_each,
                     step_lr=config.sampling.step_lr)
+    check_ladder_stability(sigmas, cfg.n_steps_each, cfg.step_lr)
     y_b = repeat_measurement(measurement, args.num_samples, batch_axis=1)
     if args.use_mesh:
-        # chains are independent: shard the chain axis over the mesh; XLA
-        # runs each shard's chains on its device, one mean at the end
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from ..parallel import make_mesh
+        # chains are independent: shard the chain axis over the mesh (padded
+        # to the device count); XLA runs each shard's chains on its device
+        from ..parallel import make_mesh, shard_chain_axis
         mesh = make_mesh()
-        y_b = jax.device_put(y_b, NamedSharding(mesh, P(None, "data")))
+        y_b, _ = shard_chain_axis(y_b, mesh, axis=1)
         if seg_label_b is not None:
-            seg_label_b = jax.device_put(
-                seg_label_b, NamedSharding(mesh, P("data")))
+            seg_label_b = repeat_measurement(seg_label, y_b.shape[1])
+            seg_label_b, _ = shard_chain_axis(seg_label_b, mesh, axis=0)
     proximal = L2Penalty(lin_tfm=lin_tfm)
 
     @jax.jit
-    def recon_fn(p, sp, y, k):
+    def recon_fn(p, sp, y, slb, k):
+        # params AND the seg label batch are jit arguments — closed-over
+        # arrays become HLO constants (slow lowering, oversized programs on
+        # remote-compile backends) and lose their shardings
         sfn = make_score_fn(module, p, sigmas)
         gfn = (lambda x: seg_module.apply({"params": sp}, x)) if use_seg else None
         return ald_inverse_seg_proximal_real_imag(
             sfn, sigmas, y, lin_tfm, proximal, k, cfg,
-            lr_scaled=args.lr_scaled, seg_fn=gfn, seg_label=seg_label_b,
+            lr_scaled=args.lr_scaled, seg_fn=gfn, seg_label=slb,
             seg_lamda=args.lamda, seg_start_time=args.seg_start_time)
 
-    recons = jax.device_get(recon_fn(params, seg_params, y_b, k_run))
+    recons = jax.device_get(
+        recon_fn(params, seg_params, y_b, seg_label_b, k_run))
+    recons = recons[:args.num_samples]  # drop mesh-padding chains
 
     mean_mag, std_mag = ensemble_mean_std(jnp.asarray(recons))
     truth_mag = np.abs(np.asarray(x_true[0]))

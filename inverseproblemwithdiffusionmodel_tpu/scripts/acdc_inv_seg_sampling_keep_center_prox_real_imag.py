@@ -19,7 +19,8 @@ from ..data import load_data
 from ..models.registry import make_score_fn, make_apply_fn
 from ..operators import RandomUndersamplingFourier, get_proximal
 from ..parallel import repeat_measurement
-from ..samplers import ALDConfig, ald_inverse_seg_proximal_real_imag
+from ..samplers import (ALDConfig, ald_inverse_seg_proximal_real_imag,
+                        check_ladder_stability)
 from ..samplers.sigmas import get_sigmas
 from ..utils.misc import add_phase
 from ..utils.metrics import nrmse, ssim
@@ -74,6 +75,7 @@ def main(argv=None):
 
     cfg = ALDConfig(n_steps_each=config.sampling.n_steps_each,
                     step_lr=config.sampling.step_lr)
+    check_ladder_stability(sigmas, cfg.n_steps_each, cfg.step_lr)
     y_b = repeat_measurement(measurement, args.num_samples)
     proximal = get_proximal(args.proximal)(lin_tfm=lin_tfm)
 

@@ -19,7 +19,7 @@ from ..config import load_config
 from ..data import load_cine
 from ..models.registry import make_score_fn, make_tube_score_fn_3d
 from ..operators import make_sense, L2Penalty
-from ..samplers import ALDConfig, ald_2d_time
+from ..samplers import ALDConfig, ald_2d_time, check_ladder_stability
 from ..samplers.sigmas import get_sigmas
 from ..utils.misc import add_phase
 from ..utils.metrics import nrmse, ssim
@@ -85,6 +85,7 @@ def main(argv=None):
 
     cfg = ALDConfig(n_steps_each=config_S.sampling.n_steps_each,
                     step_lr=config_S.sampling.step_lr)
+    check_ladder_stability(sigmas_S, cfg.n_steps_each, cfg.step_lr)
     proximal = L2Penalty(lin_tfm=lin_tfm)
 
     # params as jit args (closed-over pytrees would be inlined as constants)

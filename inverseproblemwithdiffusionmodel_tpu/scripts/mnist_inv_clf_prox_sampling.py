@@ -17,7 +17,8 @@ from ..data import load_data
 from ..models.registry import make_score_fn, make_apply_fn
 from ..operators import UndersamplingFourier, get_proximal
 from ..parallel import repeat_measurement
-from ..samplers import ALDConfig, ald_inverse_clf_proximal
+from ..samplers import (ALDConfig, ald_inverse_clf_proximal,
+                        check_ladder_stability)
 from ..samplers.sigmas import get_sigmas
 
 
@@ -56,6 +57,7 @@ def main(argv=None):
 
     cfg = ALDConfig(n_steps_each=config.sampling.n_steps_each,
                     step_lr=config.sampling.step_lr)
+    check_ladder_stability(sigmas, cfg.n_steps_each, cfg.step_lr)
     cls = jnp.full((args.num_samples,), args.cls, jnp.int32)
     proximal = get_proximal(args.proximal)(lin_tfm=lin_tfm)
     recon = jax.device_get(jax.jit(

@@ -19,7 +19,8 @@ from ..data import load_data
 from ..models.registry import make_score_fn, make_apply_fn
 from ..operators import UndersamplingFourier
 from ..parallel import repeat_measurement
-from ..samplers import ALDConfig, ald_inverse_clf
+from ..samplers import (ALDConfig, ald_inverse_clf,
+                        check_ladder_stability)
 from ..samplers.sigmas import get_sigmas
 
 
@@ -56,6 +57,7 @@ def main(argv=None):
 
     cfg = ALDConfig(n_steps_each=config.sampling.n_steps_each,
                     step_lr=config.sampling.step_lr)
+    check_ladder_stability(sigmas, cfg.n_steps_each, cfg.step_lr)
     cls = jnp.full((args.num_samples,), args.cls, jnp.int32)
     recon = jax.device_get(jax.jit(lambda p, cp, y, k: ald_inverse_clf(
         make_score_fn(module, p, sigmas),

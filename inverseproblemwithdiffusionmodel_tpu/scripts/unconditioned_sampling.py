@@ -13,8 +13,9 @@ import numpy as np
 from ._common import apply_overrides, add_common_args, save_artifacts, reload_model
 from ..config import load_config
 from ..models.registry import make_score_fn
-from ..parallel import make_mesh, shard_batch
-from ..samplers import ALDConfig, ald_unconditional_sampler
+from ..parallel import make_mesh, shard_chain_axis
+from ..samplers import (ALDConfig, ald_unconditional_sampler,
+                        check_ladder_stability)
 from ..samplers.sigmas import get_sigmas
 
 
@@ -33,11 +34,16 @@ def main(argv=None):
     config = apply_overrides(config, args.override)
     module, params = reload_model(config, args.task_name, args.ckpt_dir)
     sigmas = get_sigmas(config)
-    score_fn = make_score_fn(module, params, sigmas)
 
     if args.task_name == "Diffusion1D":
         shape = (args.num_samples, config.data.image_size,
                  config.data.channels)
+    elif args.task_name == "Diffusion3D":
+        # 3-D nets sample (win, win, T, C3) volumes; channels = win^2 tubes
+        # (registry._example_input, reference: ncsn/models/ncsn3d.py:84)
+        win = int(np.sqrt(config.data.channels))
+        shape = (args.num_samples, win, win, config.data.image_size,
+                 config.data.get("channels_3d", 1))
     else:
         s = config.data.image_size
         shape = (args.num_samples, s, s, config.data.channels)
@@ -46,17 +52,21 @@ def main(argv=None):
         n_steps_each=args.n_steps_each or config.sampling.n_steps_each,
         step_lr=args.step_lr or config.sampling.step_lr,
         denoise=config.sampling.get("denoise", True))
+    check_ladder_stability(sigmas, cfg.n_steps_each, cfg.step_lr)
     key = jax.random.PRNGKey(args.seed)
 
     sampler = jax.jit(lambda p, x0, k: ald_unconditional_sampler(
-        make_score_fn(module, p, sigmas), sigmas, shape, k, cfg, x_init=x0))
+        make_score_fn(module, p, sigmas), sigmas, x0.shape, k, cfg,
+        x_init=x0))
     key, k_init = jax.random.split(key)
     x_init = jax.random.uniform(k_init, shape)
     if args.use_mesh:
-        # chains are independent batch rows: shard them over the mesh
+        # chains are independent batch rows: shard them over the mesh,
+        # padded to the device count (padding rows dropped below)
         mesh = make_mesh()
-        x_init = shard_batch(x_init, mesh)
+        x_init, _ = shard_chain_axis(x_init, mesh)
     samples = jax.device_get(sampler(params, x_init, key))
+    samples = samples[:args.num_samples]
     run_dir = save_artifacts(args.save_dir, vars(args), samples=samples)
     print(f"saved {samples.shape} samples -> {run_dir}")
     return samples

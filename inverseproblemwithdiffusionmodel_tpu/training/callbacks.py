@@ -76,12 +76,13 @@ def make_snapshot_hook(out_dir: str, prefix: str = "snap",
             return
         from ..utils.visualizations import vis_images
         img = mag[0]
-        if temporal and img.ndim == 4:          # (T, H, W, C): frame 0 + profile
-            from ..utils.visualizations import grid_of_temporal_samples
-            grid_of_temporal_samples(
-                img, save_path=os.path.join(
-                    out_dir, f"{prefix}_level{level:05d}_temporal.png"))
-            img = img[0]
+        if img.ndim == 4:                       # (T, H, W, C) 2D+time state
+            if temporal:
+                from ..utils.visualizations import grid_of_temporal_samples
+                grid_of_temporal_samples(
+                    img, save_path=os.path.join(
+                        out_dir, f"{prefix}_level{level:05d}_temporal.png"))
+            img = img[0]                        # PNG shows frame 0
         vis_images(img, save_path=os.path.join(
             out_dir, f"{prefix}_level{level:05d}.png"))
 

@@ -74,6 +74,8 @@ def get_optimizer(config) -> optax.GradientTransformation:
         tx = optax.sgd(lr, momentum=0.9)
     else:
         raise NotImplementedError(f"optimizer {name} not supported")
-    if opt.get("grad_clip", 0.0):
+    # reference configs disable clipping with grad_clip = -1 (e.g.
+    # configs/ve/ncsn/cifar10.py:55) or 0
+    if opt.get("grad_clip", 0.0) > 0:
         tx = optax.chain(optax.clip_by_global_norm(opt.grad_clip), tx)
     return tx
