@@ -121,3 +121,31 @@ def test_sharded_pair_reconstruction_matches_unsharded():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(xi_plain), np.asarray(xi_sh),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_distributed_helpers_single_process():
+    """Single-process semantics of the multi-host helpers: initialize is a
+    no-op, this process is primary, batch slice covers everything."""
+    from inverseproblemwithdiffusionmodel_tpu.parallel import (
+        initialize_distributed, is_primary, local_batch_slice)
+    assert initialize_distributed() is False  # no pod env -> single process
+    assert is_primary()
+    assert local_batch_slice(16) == slice(0, 16)
+
+
+def test_shard_chain_axis_pads_indivisible_batches():
+    """An ensemble of 3 chains shards onto 8 devices: padded to 8, original
+    count returned, rows past it are edge copies."""
+    from inverseproblemwithdiffusionmodel_tpu.parallel import shard_chain_axis
+    mesh = make_mesh()
+    y = jnp.arange(3 * 4, dtype=jnp.float32).reshape(3, 4)
+    sharded, n = shard_chain_axis(y, mesh)
+    assert n == 3 and sharded.shape[0] == len(jax.devices())
+    np.testing.assert_allclose(np.asarray(sharded)[:3], np.asarray(y))
+    pad_rows = np.asarray(sharded)[3:]
+    np.testing.assert_allclose(
+        pad_rows, np.tile(np.asarray(y[2]), (pad_rows.shape[0], 1)))
+    # non-leading chain axis (SENSE measurements: (coils, chains, ...))
+    y2 = jnp.ones((4, 5, 2))
+    sharded2, n2 = shard_chain_axis(y2, mesh, axis=1)
+    assert n2 == 5 and sharded2.shape == (4, 8, 2)
