@@ -72,6 +72,14 @@ REGISTERED_CONFIG_FILENAME = {
     "CINE127_1D": "cine127_1d.yml",
     "ACDC": "acdc.yml",
     "SanityCheck1D": "sanity_check_1d.yml",
+    # NCSNv2-paper natural-image recipes carried by the reference
+    # (ncsn/configs/{celeba,bedroom,church,tower,ffhq,ncsn_original}.yml).
+    "CELEBA": "celeba.yml",
+    "BEDROOM": "bedroom.yml",
+    "CHURCH": "church.yml",
+    "TOWER": "tower.yml",
+    "FFHQ": "ffhq.yml",
+    "NCSN_ORIGINAL": "ncsn_original.yml",
 }
 
 DATA_MODES = ("real-valued", "mag", "complex", "real-imag", "real-imag-random")

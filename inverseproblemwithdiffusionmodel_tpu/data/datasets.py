@@ -36,6 +36,11 @@ REGISTERED_DATA_ROOT_DIR = {
     "CINE127": os.path.join(DATA_ROOT, "cine_127"),
     "CINE127_1D": os.path.join(DATA_ROOT, "cine_127"),
     "ACDC": os.path.join(DATA_ROOT, "ACDC_slices"),
+    "CELEBA": os.path.join(DATA_ROOT, "celeba"),
+    "BEDROOM": os.path.join(DATA_ROOT, "lsun", "bedroom"),
+    "CHURCH": os.path.join(DATA_ROOT, "lsun", "church_outdoor"),
+    "TOWER": os.path.join(DATA_ROOT, "lsun", "tower"),
+    "FFHQ": os.path.join(DATA_ROOT, "ffhq"),
 }
 
 
@@ -144,6 +149,65 @@ def load_cifar10(root_dir: Optional[str] = None, mode: str = "train",
     xs = np.concatenate(data).reshape(-1, 3, 32, 32).transpose(0, 2, 3, 1)
     return ArrayDataset(xs.astype(np.float32) / 255.0,
                         np.asarray(labels, np.int64))
+
+
+def synthetic_rgb(n: int, size: int, seed: int = 0) -> np.ndarray:
+    """Smooth textured RGB stand-ins (N, size, size, 3) in [0, 1] for the
+    natural-image recipes (CelebA/LSUN/FFHQ) when no data is on disk:
+    low-frequency Gaussian mixtures per channel, matching the value range
+    and shape the NCSNv2 nets train on."""
+    rng = np.random.RandomState(seed)
+    yy, xx = np.mgrid[0:size, 0:size].astype(np.float32) / size
+    out = np.empty((n, size, size, 3), np.float32)
+    for i in range(n):
+        img = np.zeros((size, size, 3), np.float32)
+        for _ in range(6):
+            cx, cy = rng.rand(2)
+            sx, sy = 0.08 + 0.3 * rng.rand(2)
+            blob = np.exp(-((xx - cx) ** 2 / (2 * sx ** 2)
+                            + (yy - cy) ** 2 / (2 * sy ** 2)))
+            img += blob[..., None] * rng.rand(3)
+        img /= max(img.max(), 1e-6)
+        out[i] = img
+    return out
+
+
+def load_image_folder(root_dir: str, mode: str = "train", size: int = 64,
+                      name: str = "images", **_) -> ArrayDataset:
+    """Generic natural-image folder loader (CelebA / LSUN categories /
+    FFHQ — datasets whose NCSNv2 recipes the reference ships as configs,
+    ncsn/configs/{celeba,bedroom,church,tower,ffhq}.yml, without loaders).
+    Recursively reads png/jpg/webp files resized to (size, size); falls
+    back to `synthetic_rgb` so training runs hermetically."""
+    assert mode in ("train", "val", "test")
+    exts = (".png", ".jpg", ".jpeg", ".webp")
+    files: List[str] = []
+    if os.path.isdir(root_dir):
+        for dirpath, _dirs, names in os.walk(root_dir):
+            files.extend(os.path.join(dirpath, f) for f in names
+                         if f.lower().endswith(exts))
+    files.sort()
+    if not files:
+        _warn_synthetic(name, root_dir)
+        n = 2048 if mode == "train" else 256
+        return ArrayDataset(
+            synthetic_rgb(n, size, seed=0 if mode == "train" else 1))
+    # deterministic 95/5 train/val split over the sorted listing
+    n_val = max(1, len(files) // 20)
+    files = files[:-n_val] if mode == "train" else files[-n_val:]
+    from PIL import Image
+    xs = np.empty((len(files), size, size, 3), np.float32)
+    for i, path in enumerate(files):
+        with Image.open(path) as im:
+            im = im.convert("RGB")
+            # center-crop to square then resize (CelebA/LSUN convention)
+            w, h = im.size
+            s = min(w, h)
+            im = im.crop(((w - s) // 2, (h - s) // 2,
+                          (w + s) // 2, (h + s) // 2))
+            im = im.resize((size, size), Image.BILINEAR)
+            xs[i] = np.asarray(im, np.float32) / 255.0
+    return ArrayDataset(xs)
 
 
 # ---------------------------------------------------------------------------
@@ -367,4 +431,10 @@ def load_data(ds_name: str, mode: str = "train", **kwargs) -> ArrayDataset:
         return load_acdc(mode=mode, **kwargs)
     if ds_name == "SanityCheck1D":
         return load_sanity_check_1d(**kwargs)
+    if ds_name in ("CELEBA", "BEDROOM", "CHURCH", "TOWER", "FFHQ"):
+        root = kwargs.pop("root_dir", REGISTERED_DATA_ROOT_DIR[ds_name])
+        default_size = {"CELEBA": 64, "BEDROOM": 128, "CHURCH": 64,
+                        "TOWER": 128, "FFHQ": 256}[ds_name]
+        kwargs.setdefault("size", default_size)
+        return load_image_folder(root, mode=mode, name=ds_name, **kwargs)
     raise KeyError(f"unknown dataset {ds_name!r}")

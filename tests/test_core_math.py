@@ -37,6 +37,50 @@ def test_get_sigmas_from_config():
     assert sig_rec.shape == (cfg.recons.num_classes,)
 
 
+def test_natural_image_configs():
+    """The six NCSNv2-paper recipes the reference carries as YAMLs
+    (ncsn/configs/{celeba,bedroom,church,tower,ffhq,ncsn_original}.yml)
+    load and produce the published sigma ladders."""
+    expected = {  # ds -> (sigma_begin, num_classes, image_size, channels)
+        "CELEBA": (90, 500, 64, 3),
+        "BEDROOM": (190, 1086, 128, 3),
+        "CHURCH": (140, 788, 64, 3),
+        "TOWER": (190, 1086, 128, 3),
+        "FFHQ": (348, 2311, 256, 3),
+        "NCSN_ORIGINAL": (1, 10, 32, 3),
+    }
+    for ds, (s0, L, size, ch) in expected.items():
+        cfg = load_config(ds)
+        assert cfg.model.sigma_begin == s0
+        assert cfg.model.num_classes == L
+        assert cfg.data.image_size == size and cfg.data.channels == ch
+        sig = np.asarray(get_sigmas(cfg))
+        assert sig.shape == (L,)
+        assert np.isclose(sig[0], s0) and np.isclose(sig[-1], 0.01)
+
+
+def test_image_folder_loader_synthetic():
+    """CELEBA/LSUN/FFHQ loaders fall back to hermetic synthetic RGB."""
+    from inverseproblemwithdiffusionmodel_tpu.data.datasets import load_data
+    ds = load_data("CELEBA", mode="val", root_dir="/nonexistent", size=16)
+    assert ds.data.shape == (256, 16, 16, 3)
+    assert ds.data.dtype == np.float32
+    assert 0.0 <= ds.data.min() and ds.data.max() <= 1.0
+
+
+def test_image_folder_loader_reads_files(tmp_path):
+    from PIL import Image
+    from inverseproblemwithdiffusionmodel_tpu.data.datasets import (
+        load_image_folder)
+    rng = np.random.RandomState(0)
+    for i in range(4):
+        arr = rng.randint(0, 256, (20, 24, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"im{i}.png")
+    tr = load_image_folder(str(tmp_path), mode="train", size=8)
+    va = load_image_folder(str(tmp_path), mode="val", size=8)
+    assert tr.data.shape == (3, 8, 8, 3) and va.data.shape == (1, 8, 8, 3)
+
+
 def test_lh_weights_ramp():
     sig = sigma_ladder(50.0, 0.01, 100)
     w = np.asarray(get_lh_weights(sig, 0.5))
