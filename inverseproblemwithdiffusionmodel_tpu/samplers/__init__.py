@@ -30,3 +30,8 @@ from .map_opt import (
     map_optimizer_2d_time,
     tv_reconstruction,
 )
+from .map_pair import (
+    map_optimizer_pair,
+    map_optimizer_2d_time_pair,
+    tv_reconstruction_pair,
+)

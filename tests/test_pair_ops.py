@@ -190,3 +190,93 @@ def test_pair_2d_time_matches_complex(sense_pair):
                                    atol=2e-3, err_msg=mode_T)
         np.testing.assert_allclose(np.asarray(xi), np.imag(np.asarray(ref)),
                                    atol=2e-3, err_msg=mode_T)
+
+
+def test_pair_map_matches_complex(sense_pair):
+    """map_optimizer_pair trajectory == complex map_optimizer (same Adam)."""
+    from inverseproblemwithdiffusionmodel_tpu.samplers import (
+        MAPConfig, map_optimizer, map_optimizer_pair)
+    sense, pair = sense_pair
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    mag = jnp.exp(-(((yy - 8) ** 2 + (xx - 6) ** 2) / 20.0))[None, :, :, None]
+    target = mag.astype(jnp.complex64)
+    y = sense(target)
+    sigmas = sigma_ladder(1.0, 0.01, 20)
+
+    def score_fn(x, labels):
+        sig = sigmas[labels].reshape(-1, *([1] * (x.ndim - 1)))
+        tgt = stack_parts(jnp.real(target), jnp.imag(target))
+        return (tgt - x) / sig ** 2
+
+    # short horizon: trajectories match step for step (longer horizons
+    # drift chaotically through Adam's rsqrt normalization of the ~1e-6
+    # matmul-DFT vs FFT difference — both converge to the same optimum)
+    cfg = MAPConfig(n_iters=20, lr=5e-2)
+    ref = map_optimizer(score_fn, y, sense, lamda=0.1, config=cfg)
+    xr, xi = map_optimizer_pair(score_fn, (jnp.real(y), jnp.imag(y)), pair,
+                                lamda=0.1, config=cfg)
+    np.testing.assert_allclose(np.asarray(xr), np.real(np.asarray(ref)),
+                               atol=2e-3)
+    np.testing.assert_allclose(np.asarray(xi), np.imag(np.asarray(ref)),
+                               atol=2e-3)
+    # long horizon: both reach the target equally well
+    cfg = MAPConfig(n_iters=200, lr=5e-2)
+    ref = map_optimizer(score_fn, y, sense, lamda=0.1, config=cfg)
+    xr, xi = map_optimizer_pair(score_fn, (jnp.real(y), jnp.imag(y)), pair,
+                                lamda=0.1, config=cfg)
+    err_ref = float(jnp.max(jnp.abs(ref - target)))
+    err_pair = float(jnp.max(jnp.abs((xr + 1j * xi) - target)))
+    assert err_pair < 1.3 * err_ref + 5e-3
+
+
+def test_pair_tv_matches_complex(sense_pair):
+    from inverseproblemwithdiffusionmodel_tpu.samplers import (
+        MAPConfig, tv_reconstruction, tv_reconstruction_pair)
+    sense, pair = sense_pair
+    y = sense(rand_complex(jax.random.PRNGKey(11), (1, H, W, 1)))
+    cfg = MAPConfig(n_iters=40, lr=5e-2)
+    ref = tv_reconstruction(y, sense, reg_weight=0.05, config=cfg)
+    xr, xi = tv_reconstruction_pair((jnp.real(y), jnp.imag(y)), pair,
+                                    reg_weight=0.05, config=cfg)
+    np.testing.assert_allclose(np.asarray(xr), np.real(np.asarray(ref)),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(xi), np.imag(np.asarray(ref)),
+                               atol=1e-3)
+
+
+def test_pair_map_2d_time_matches_complex(sense_pair):
+    from inverseproblemwithdiffusionmodel_tpu.samplers import (
+        MAPConfig, map_optimizer_2d_time, map_optimizer_2d_time_pair)
+    T = 4
+    sense, pair = sense_pair
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    base = jnp.exp(-(((yy - 8) ** 2 + (xx - 6) ** 2) / 20.0))
+    vol = jnp.stack([base * (0.8 + 0.05 * t) for t in range(T)])[None]
+    frames = vol.reshape(T, H, W)[..., None].astype(jnp.complex64)
+    y = sense(frames)
+    sigmas = sigma_ladder(1.0, 0.01, 12)
+
+    def score_S(x, labels):
+        sig = sigmas[labels].reshape(-1, *([1] * (x.ndim - 1)))
+        tgt = stack_parts(jnp.real(frames), jnp.imag(frames))
+        return (tgt - x) / sig ** 2
+
+    def score_T(x, labels):
+        sig = sigmas[labels].reshape(-1, *([1] * (x.ndim - 1)))
+        return -x / (sig ** 2 + 10.0)
+
+    # short horizon (see test_pair_map_matches_complex: longer Adam runs
+    # drift chaotically from ~1e-6 DFT-vs-FFT differences)
+    cfg = MAPConfig(n_iters=12, lr=5e-2)
+    for mode_T in ("tv", "diffusion1d", "none"):
+        ref = map_optimizer_2d_time(
+            score_S, score_T, y, sense, config=cfg, mode_T=mode_T,
+            win_size=4, num_frames=T, key=jax.random.PRNGKey(0))
+        xr, xi = map_optimizer_2d_time_pair(
+            score_S, score_T, (jnp.real(y), jnp.imag(y)), pair, config=cfg,
+            mode_T=mode_T, win_size=4, num_frames=T,
+            key=jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(xr), np.real(np.asarray(ref)),
+                                   atol=2e-3, err_msg=mode_T)
+        np.testing.assert_allclose(np.asarray(xi), np.imag(np.asarray(ref)),
+                                   atol=2e-3, err_msg=mode_T)
