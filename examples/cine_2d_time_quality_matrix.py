@@ -1,0 +1,369 @@
+"""2D+time quality matrix: the reference's headline CINE experiment
+(README table, readme_images/qualitative_2d_time_readme/R_{8,16}/*) run
+hermetically on synthetic beating-heart phantoms.
+
+Trains a 2-D spatial score prior (NCSNv2) and a 1-D temporal score prior
+(NCSN1D on pixel tubes), then reconstructs R={8,16} per-frame
+variable-density 4-coil SENSE measurements with every method in the
+reference table:
+
+  ZF | ALD (full / spatial-only / tv-temporal) |
+  MAP (full / spatial-only / tv-temporal) | TV least squares
+
+All reconstruction runs in the real-pair pipeline (no complex dtypes, TPU
+fast path). Writes runs/cine_matrix/R_{R}/{variant}/metrics.txt and a
+RESULTS.md summary table.
+
+  python examples/cine_2d_time_quality_matrix.py \\
+      [--quick] [--steps_s 6000] [--steps_t 3000] [--out runs/cine_matrix]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/ipdm_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+from inverseproblemwithdiffusionmodel_tpu.config import Config
+from inverseproblemwithdiffusionmodel_tpu.data.datasets import synthetic_cine
+from inverseproblemwithdiffusionmodel_tpu.models.ncsnv2 import NCSNv2
+from inverseproblemwithdiffusionmodel_tpu.models.ncsn1d import NCSN1D
+from inverseproblemwithdiffusionmodel_tpu.operators.masks import generate_mask
+from inverseproblemwithdiffusionmodel_tpu.operators.fourier import (
+    MASK_PRESETS, _exp_sens_map)
+from inverseproblemwithdiffusionmodel_tpu.operators.pair import (
+    PairSENSE, PairL2Penalty)
+from inverseproblemwithdiffusionmodel_tpu.ops.resize import (
+    resize_align_corners)
+from inverseproblemwithdiffusionmodel_tpu.samplers import (
+    ALDConfig, MAPConfig, make_stepped_2d_time_pair_reconstructor,
+    map_optimizer_2d_time_pair, tv_reconstruction_pair)
+from inverseproblemwithdiffusionmodel_tpu.samplers.sigmas import (
+    sigma_ladder, check_ladder_stability)
+from inverseproblemwithdiffusionmodel_tpu.training import (
+    TrainState, get_optimizer, make_score_train_step)
+from inverseproblemwithdiffusionmodel_tpu.utils.dataset_stats import (
+    max_pairwise_distance)
+from inverseproblemwithdiffusionmodel_tpu.utils.metrics import nrmse, ssim
+from inverseproblemwithdiffusionmodel_tpu.utils.reshape import (
+    reshape_temporal_dim_np)
+
+
+def log(msg):
+    print(f"[matrix] {msg}", flush=True)
+
+
+class BF16Wrap:
+    """bf16 forward with the same trained weights (quality-identical on
+    trained score nets — see examples/train_and_reconstruct_demo.py)."""
+
+    def __init__(self, module):
+        self._m = module
+
+    def apply(self, variables, x, cond):
+        pbf = jax.tree_util.tree_map(lambda v: v.astype(jnp.bfloat16),
+                                     variables["params"])
+        out = self._m.apply({"params": pbf}, x.astype(jnp.bfloat16),
+                            cond.astype(jnp.bfloat16))
+        return out.astype(jnp.float32)
+
+
+def train_score_net(module, data, sigmas, batch, steps, seed, tag):
+    x0 = jnp.zeros((batch,) + data.shape[1:])
+    params = jax.jit(module.init)(jax.random.PRNGKey(seed), x0,
+                                  jnp.ones((batch,)))["params"]
+    config = Config({"optim": {"optimizer": "Adam", "lr": 1e-4,
+                               "beta1": 0.9, "eps": 1e-8,
+                               "weight_decay": 0.0, "grad_clip": 1.0}})
+    state = TrainState.create(params, get_optimizer(config), ema_decay=0.999)
+    step = make_score_train_step(module, sigmas, data_mode="real-imag")
+    rng = np.random.RandomState(seed)
+    key = jax.random.PRNGKey(seed + 1)
+    t0 = time.time()
+    for i in range(steps):
+        key, k = jax.random.split(key)
+        batch_x = jnp.asarray(data[rng.choice(len(data), batch)])
+        state, loss = step(state, batch_x, k)
+        if i % max(steps // 8, 1) == 0 or i == steps - 1:
+            log(f"{tag} step {i}: loss {float(loss):.2f} "
+                f"({time.time() - t0:.0f}s)")
+    return state.eval_params
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--T", type=int, default=24)
+    p.add_argument("--win", type=int, default=8)
+    p.add_argument("--ngf_s", type=int, default=48)
+    p.add_argument("--ngf_t", type=int, default=32)
+    p.add_argument("--n_train", type=int, default=60)
+    p.add_argument("--steps_s", type=int, default=6000)
+    p.add_argument("--steps_t", type=int, default=3000)
+    p.add_argument("--levels", type=int, default=232)
+    p.add_argument("--levels_t", type=int, default=120)
+    p.add_argument("--n_steps_each", type=int, default=5)
+    p.add_argument("--step_lr", type=float, default=6.2e-6)
+    p.add_argument("--lr_scaled", type=float, default=30000.0)
+    p.add_argument("--lamda_T", type=float, default=1.0)
+    p.add_argument("--chains", type=int, default=4)
+    p.add_argument("--map_iters", type=int, default=400)
+    p.add_argument("--map_lr", type=float, default=5e-3)
+    p.add_argument("--map_label", type=int, default=1,
+                   help="noise label for the MAP prior score "
+                        "(reference fixes 1, MAP_optimizers.py:101-104)")
+    p.add_argument("--map_lamdas", type=float, nargs="+",
+                   default=[0.03, 0.3, 3.0],
+                   help="prior-weight grid; best on video 0 is kept "
+                        "(the reference table reports tuned-best runs)")
+    p.add_argument("--tv_regs", type=float, nargs="+",
+                   default=[0.01, 0.03, 0.1])
+    p.add_argument("--Rs", type=int, nargs="+", default=[8, 16])
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--f32", action="store_true",
+                   help="disable the bf16 score-net forward")
+    p.add_argument("--quick", action="store_true",
+                   help="tiny smoke-test settings (CPU-friendly)")
+    p.add_argument("--out", default="runs/cine_matrix")
+    args = p.parse_args(argv)
+
+    if args.quick:
+        args.size, args.T, args.win = 32, 8, 4
+        args.ngf_s, args.ngf_t = 16, 16
+        args.n_train, args.steps_s, args.steps_t = 8, 60, 40
+        args.levels, args.levels_t = 16, 8
+        args.chains, args.map_iters = 2, 30
+        args.map_lamdas, args.tv_regs = [0.3], [0.03]
+        args.Rs = [8]
+    os.makedirs(args.out, exist_ok=True)
+    S, T, win = args.size, args.T, args.win
+
+    # ---- data ----------------------------------------------------------
+    vids = synthetic_cine(args.n_train + 2, T, S, S, seed=args.seed)
+    train_vids, test_vids = vids[:-2], vids[-2:]
+    frames = train_vids.reshape(-1, S, S)[..., None]        # (N*T, S, S, 1)
+    tubes = reshape_temporal_dim_np(train_vids, win, win)   # (N', T, win^2)
+    log(f"train frames {frames.shape}, tubes {tubes.shape}")
+
+    sigma_max_s = max_pairwise_distance(frames, max_samples=256)
+    sigmas_S = sigma_ladder(sigma_max_s, 0.01, args.levels)
+    sigma_max_t = max_pairwise_distance(tubes, max_samples=256)
+    sigmas_T = sigma_ladder(sigma_max_t, 0.01, args.levels_t)
+    log(f"sigma_max spatial {sigma_max_s:.1f}, temporal {sigma_max_t:.1f}")
+    ratio = check_ladder_stability(sigmas_S, args.n_steps_each, args.step_lr)
+    log(f"ladder stability ratio {ratio:.1f} (must be >= 1)")
+
+    # ---- train both priors ----------------------------------------------
+    cfg_s = Config({"data": {"channels": 1, "image_size": S,
+                             "logit_transform": False, "rescaled": False},
+                    "model": {"ngf": args.ngf_s, "nonlinearity": "elu",
+                              "normalization": "InstanceNorm++"}})
+    module_S = NCSNv2(config=cfg_s)
+    params_S = train_score_net(module_S, frames, sigmas_S, 32, args.steps_s,
+                               args.seed, "spatial")
+
+    cfg_t = Config({"data": {"channels": win * win, "image_size": T,
+                             "logit_transform": False, "rescaled": False},
+                    "model": {"ngf": args.ngf_t, "nonlinearity": "elu",
+                              "normalization": "InstanceNorm++"}})
+    module_T = NCSN1D(cfg_t)
+    params_T = train_score_net(module_T, tubes, sigmas_T, 128, args.steps_t,
+                               args.seed + 5, "temporal")
+
+    fwd_S = module_S if (args.f32 or jax.default_backend() == "cpu") \
+        else BF16Wrap(module_S)
+    fwd_T = module_T if (args.f32 or jax.default_backend() == "cpu") \
+        else BF16Wrap(module_T)
+
+    # ---- ground-truth pair with smooth synthetic phase -------------------
+    truth = jnp.asarray(test_vids)                           # (2, T, S, S)
+    patch = jax.random.normal(jax.random.PRNGKey(args.seed + 3),
+                              (2, 5, 5, 1))
+    phase = resize_align_corners(patch, (S, S), axes=(1, 2))  # (2, S, S, 1)
+    xr_true = truth[..., None] * jnp.cos(phase[:, None])     # (2, T, S, S, 1)
+    xi_true = truth[..., None] * jnp.sin(phase[:, None])
+
+    # coil maps (4 coils, SOS-normalized, shared across R)
+    num_sens = 4
+    maps = np.stack([_exp_sens_map(S, S, args.seed + i)
+                     for i in range(num_sens)])
+    maps = maps / np.sqrt((maps ** 2).sum(axis=0, keepdims=True))
+
+    def eval_recon(xr, xi, vid_idx):
+        """xr: (B, T, S, S, 1) ensemble -> mean magnitude metrics."""
+        mag = jnp.sqrt(xr ** 2 + xi ** 2).mean(axis=0)[..., 0]  # (T, S, S)
+        t = truth[vid_idx]
+        n = float(nrmse(mag, t))
+        s = float(np.mean([float(ssim(mag[f], t[f])) for f in range(T)]))
+        return n, s, np.asarray(mag)
+
+    results = {}
+    tuned = {}
+    for R in args.Rs:
+        preset = MASK_PRESETS.get(int(R))
+        if preset is None:
+            raise SystemExit(f"no mask preset for R={R}")
+        mask = generate_mask(T, S, seed=args.seed + R, **preset)
+        mask = jnp.asarray(mask.reshape(T, 1, S, 1), jnp.float32)
+        out_R = {}
+        for vid in range(2):
+            # measurement for this video (B=1 chain geometry)
+            def make_op(B):
+                return PairSENSE(
+                    mask=jnp.tile(mask, (B, 1, 1, 1)),
+                    sens_re=jnp.asarray(maps[..., None], jnp.float32),
+                    sens_im=jnp.zeros((num_sens, S, S, 1), jnp.float32))
+
+            op1 = make_op(1)
+            fr = xr_true[vid].reshape(T, S, S, 1)
+            fi = xi_true[vid].reshape(T, S, S, 1)
+            yr1, yi1 = op1(fr, fi)                 # (4, T, S, S, 1)
+
+            zr, zi = op1.conj_op(yr1, yi1)
+            n, s, _ = eval_recon(zr.reshape(1, T, S, S, 1),
+                                 zi.reshape(1, T, S, S, 1), vid)
+            out_R.setdefault("ZF", []).append((n, s))
+
+            # ALD variants (ensemble of chains)
+            B = args.chains
+            opB = make_op(B)
+            yrB = jnp.tile(yr1, (1, B, 1, 1, 1))
+            yiB = jnp.tile(yi1, (1, B, 1, 1, 1))
+            proxB = PairL2Penalty(lin_tfm=opB, num_iters=4)
+            ald_cfg = ALDConfig(n_steps_each=args.n_steps_each,
+                                step_lr=args.step_lr)
+            for name, mode_T in (("ALD", "diffusion1d"),
+                                 ("ALD_spatial_only", "none"),
+                                 ("ALD_tv_only", "tv")):
+                recon = make_stepped_2d_time_pair_reconstructor(
+                    fwd_S, fwd_T, sigmas_S, sigmas_T, opB, proxB, ald_cfg,
+                    lr_scaled=args.lr_scaled, mode_T=mode_T,
+                    lamda_T=args.lamda_T, win_size=win, num_frames=T)
+                t0 = time.time()
+                xr, xi = recon(params_S, params_T, yrB, yiB,
+                               jax.random.PRNGKey(args.seed + 11 + vid))
+                n, s, _ = eval_recon(xr, xi, vid)
+                log(f"R={R} vid{vid} {name}: NRMSE {n:.4f} SSIM {s:.4f} "
+                    f"({time.time() - t0:.0f}s)")
+                out_R.setdefault(name, []).append((n, s))
+
+            # MAP variants (deterministic; prior weight tuned on video 0,
+            # as the reference table reports tuned-best runs)
+            map_cfg = MAPConfig(n_iters=args.map_iters, lr=args.map_lr)
+
+            def run_map(mode_T):
+                @jax.jit
+                def f(ps, pt, yr, yi, lamda):
+                    return map_optimizer_2d_time_pair(
+                        (lambda x, l: fwd_S.apply({"params": ps}, x,
+                                                  sigmas_S[l])),
+                        (lambda x, l: fwd_T.apply({"params": pt}, x,
+                                                  sigmas_T[jnp.minimum(
+                                                      l, args.levels_t - 1)])),
+                        (yr, yi), op1, config=map_cfg,
+                        prior_weight=lamda, mode_T=mode_T,
+                        win_size=win, num_frames=T,
+                        prior_label=args.map_label)
+                return f
+
+            for name, mode_T in (("MAP", "diffusion1d"),
+                                 ("MAP_spatial_only", "none"),
+                                 ("MAP_tv_only", "tv")):
+                t0 = time.time()
+                f = run_map(mode_T)
+                if vid == 0:
+                    best = None
+                    for lam in args.map_lamdas:
+                        xr, xi = f(params_S, params_T, yr1, yi1, lam)
+                        n, s, _ = eval_recon(xr, xi, vid)
+                        log(f"R={R} vid0 {name} lamda={lam}: "
+                            f"NRMSE {n:.4f} SSIM {s:.4f}")
+                        if best is None or n < best[0]:
+                            best = (n, s, lam)
+                    n, s, lam = best
+                    tuned.setdefault(f"R_{R}", {})[name] = lam
+                else:
+                    lam = tuned[f"R_{R}"][name]
+                    xr, xi = f(params_S, params_T, yr1, yi1, lam)
+                    n, s, _ = eval_recon(xr, xi, vid)
+                log(f"R={R} vid{vid} {name} (lamda={lam}): NRMSE {n:.4f} "
+                    f"SSIM {s:.4f} ({time.time() - t0:.0f}s)")
+                out_R.setdefault(name, []).append((n, s))
+
+            # TV least squares on frames (reg weight tuned on video 0)
+            t0 = time.time()
+
+            @jax.jit
+            def f_tv(yr, yi, reg):
+                return tv_reconstruction_pair(
+                    (yr, yi), op1, reg_weight=reg,
+                    config=MAPConfig(n_iters=args.map_iters, lr=args.map_lr))
+
+            if vid == 0:
+                best = None
+                for reg in args.tv_regs:
+                    xr, xi = f_tv(yr1, yi1, reg)
+                    n, s, _ = eval_recon(xr.reshape(1, T, S, S, 1),
+                                         xi.reshape(1, T, S, S, 1), vid)
+                    log(f"R={R} vid0 TV reg={reg}: NRMSE {n:.4f} "
+                        f"SSIM {s:.4f}")
+                    if best is None or n < best[0]:
+                        best = (n, s, reg)
+                n, s, reg = best
+                tuned.setdefault(f"R_{R}", {})["TV"] = reg
+            else:
+                reg = tuned[f"R_{R}"]["TV"]
+                xr, xi = f_tv(yr1, yi1, reg)
+                n, s, _ = eval_recon(xr.reshape(1, T, S, S, 1),
+                                     xi.reshape(1, T, S, S, 1), vid)
+            log(f"R={R} vid{vid} TV (reg={reg}): NRMSE {n:.4f} SSIM {s:.4f} "
+                f"({time.time() - t0:.0f}s)")
+            out_R.setdefault("TV", []).append((n, s))
+
+        results[f"R_{R}"] = {
+            name: {"nrmse": round(float(np.mean([v[0] for v in vals])), 4),
+                   "ssim": round(float(np.mean([v[1] for v in vals])), 4)}
+            for name, vals in out_R.items()}
+        for name, m in results[f"R_{R}"].items():
+            d = os.path.join(args.out, f"R_{R}", name)
+            os.makedirs(d, exist_ok=True)
+            with open(os.path.join(d, "metrics.txt"), "w") as f:
+                f.write(f"NRMSE: {m['nrmse']}, SSIM: {m['ssim']}\n")
+
+    # ---- summary ---------------------------------------------------------
+    order = ["ZF", "ALD", "ALD_spatial_only", "ALD_tv_only",
+             "MAP", "MAP_spatial_only", "MAP_tv_only", "TV"]
+    lines = ["# 2D+time quality matrix (synthetic cine, 4-coil SENSE)", "",
+             f"size {S}^2, T={T}, {args.chains}-chain ALD ensembles, "
+             f"spatial NCSNv2 ngf{args.ngf_s} ({args.steps_s} steps), "
+             f"temporal NCSN1D ngf{args.ngf_t} ({args.steps_t} steps)", "",
+             "| method | " + " | ".join(
+                 f"R={R} NRMSE / SSIM" for R in args.Rs) + " |",
+             "|---|" + "---|" * len(args.Rs)]
+    for name in order:
+        row = [name]
+        for R in args.Rs:
+            m = results.get(f"R_{R}", {}).get(name)
+            row.append(f"{m['nrmse']:.4f} / {m['ssim']:.4f}" if m else "-")
+        lines.append("| " + " | ".join(row) + " |")
+    summary = "\n".join(lines) + "\n"
+    with open(os.path.join(args.out, "RESULTS.md"), "w") as f:
+        f.write(summary)
+    with open(os.path.join(args.out, "results.json"), "w") as f:
+        json.dump({"args": vars(args), "results": results,
+                   "tuned_hyperparams": tuned}, f, indent=2)
+    print(summary)
+    return results
+
+
+if __name__ == "__main__":
+    main()

@@ -23,6 +23,7 @@ from .ald_pair import (
     ald_inverse_proximal_pair,
     ald_2d_time_pair,
     make_stepped_pair_reconstructor,
+    make_stepped_2d_time_pair_reconstructor,
 )
 from .map_opt import (
     MAPConfig,

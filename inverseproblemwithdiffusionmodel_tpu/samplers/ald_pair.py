@@ -284,3 +284,147 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
         return xr, xi
 
     return recon
+
+
+def make_stepped_2d_time_pair_reconstructor(
+        module_S, module_T, sigmas: jnp.ndarray, sigmas_T: jnp.ndarray,
+        lin_tfm, proximal,
+        config: ALDConfig = ALDConfig(),
+        lr_scaled: float = 1.0,
+        mode_T: str = "diffusion1d",
+        lamda_T: float = 1.0,
+        if_random_shift: bool = False,
+        win_size: int = 8,
+        num_frames: Optional[int] = None,
+        snapshot_fn: Optional[Callable] = None):
+    """Host-scheduled 2D+time variant (cf. make_stepped_pair_reconstructor):
+    one jitted sigma-LEVEL step — spatial score + temporal score/TV +
+    proximal — looped over levels on the host with async dispatch.
+    Numerically identical to `ald_2d_time_pair`; use it where a whole-chain
+    `lax.scan` program is impractical to compile (axon remote-compile
+    rejects large programs). Score-net params stay explicit jit arguments.
+    Returns `recon(params_S, params_T, yr, yi, key) -> (xr, xi)` with
+    measurement pair (num_sens, B*T, H, W, C) and output (B, T, H, W, C).
+    """
+    import numpy as np
+    from .ald import interp_sigmas_T
+    from ..operators.finite_diff import FiniteDiff
+    from ..utils.reshape import reshape_temporal_dim
+
+    assert mode_T in ("tv", "diffusion1d", "none", "diffusion1d-only",
+                      "tv-only")
+    skip_spatial = mode_T in ("diffusion1d-only", "tv-only")
+    use_temporal_diffusion = "diffusion1d" in mode_T
+    use_tv = "tv" in mode_T
+
+    if skip_spatial:
+        sigmas = jnp.asarray(sigmas_T)
+        sigmas_T_full = jnp.asarray(sigmas_T)
+    else:
+        sigmas = jnp.asarray(sigmas)
+        sigmas_T_full = jnp.asarray(
+            interp_sigmas_T(np.asarray(sigmas), np.asarray(sigmas_T)))
+    sigma_last = sigmas[-1]
+    sigma_T_last = sigmas_T_full[-1]
+    L = int(sigmas.shape[0])
+    finite_diff = FiniteDiff(dims=1)
+
+    @jax.jit
+    def level_step(params_S, params_T, xr, xi, yr, yi, c, sigma, sigma_T,
+                   key):
+        B, T, H, W, C = xr.shape
+
+        def score_S(x, labels):
+            return module_S.apply({"params": params_S}, x, sigmas[labels])
+
+        def score_T(x, labels):
+            return module_T.apply({"params": params_T}, x,
+                                  sigmas_T_full[labels])
+
+        def spatial_step(xr, xi, key):
+            if skip_spatial:
+                return xr, xi
+            step_size = config.step_lr * (sigma / sigma_last) ** 2
+            fr = xr.reshape(B * T, H, W, C)
+            fi = xi.reshape(B * T, H, W, C)
+            stacked = stack_parts(fr, fi)
+            grads = score_S(stacked, _labels(stacked, c))
+            g_re, g_im = unstack_parts(grads)
+            k_re, k_im = jax.random.split(key)
+            fr = _langevin_update(fr, g_re, step_size, k_re)
+            fi = _langevin_update(fi, g_im, step_size, k_im)
+            return fr.reshape(B, T, H, W, C), fi.reshape(B, T, H, W, C)
+
+        def temporal_step(xr, xi, key):
+            if use_tv:
+                xr = xr + finite_diff.log_lh_grad(xr, lamda=lamda_T)
+                xi = xi + finite_diff.log_lh_grad(xi, lamda=lamda_T)
+                return xr, xi
+            if not use_temporal_diffusion:
+                return xr, xi
+
+            def do_step(args):
+                xr, xi = args
+                key_shift, key_re, key_im = jax.random.split(key, 3)
+                fr = jnp.moveaxis(xr, -1, 1).reshape(B * C, T, H, W)
+                fi = jnp.moveaxis(xi, -1, 1).reshape(B * C, T, H, W)
+                if if_random_shift:
+                    sh, sw = jax.random.randint(key_shift, (2,), 0, win_size)
+                    fr = jnp.roll(fr, (sh, sw), axis=(-2, -1))
+                    fi = jnp.roll(fi, (sh, sw), axis=(-2, -1))
+                tr = reshape_temporal_dim(fr, win_size, win_size)
+                ti = reshape_temporal_dim(fi, win_size, win_size)
+                step_size = (config.step_lr * (sigma_T / sigma_T_last) ** 2) \
+                    * lamda_T
+                stacked = stack_parts(tr, ti)
+                grads = score_T(stacked, _labels(stacked, c))
+                g_re, g_im = unstack_parts(grads)
+                tr = _langevin_update(tr, g_re, step_size, key_re)
+                ti = _langevin_update(ti, g_im, step_size, key_im)
+                fr = reshape_temporal_dim(tr, win_size, win_size, "backward",
+                                          img_size=(H, W))
+                fi = reshape_temporal_dim(ti, win_size, win_size, "backward",
+                                          img_size=(H, W))
+                if if_random_shift:
+                    fr = jnp.roll(fr, (-sh, -sw), axis=(-2, -1))
+                    fi = jnp.roll(fi, (-sh, -sw), axis=(-2, -1))
+                xr = jnp.moveaxis(fr.reshape(B, C, T, H, W), 1, -1)
+                xi = jnp.moveaxis(fi.reshape(B, C, T, H, W), 1, -1)
+                return xr, xi
+
+            return lax.cond(sigma_T > 0, do_step, lambda a: a, (xr, xi))
+
+        def proximal_step(xr, xi):
+            fr = xr.reshape(B * T, H, W, C)
+            fi = xi.reshape(B * T, H, W, C)
+            fr, fi = proximal(fr, fi, yr, yi, config.step_lr * lr_scaled,
+                              1.0)
+            return fr.reshape(B, T, H, W, C), fi.reshape(B, T, H, W, C)
+
+        def inner(_, state):
+            xr, xi, key = state
+            key, k_s, k_t = jax.random.split(key, 3)
+            xr, xi = spatial_step(xr, xi, k_s)
+            xr, xi = temporal_step(xr, xi, k_t)
+            xr, xi = proximal_step(xr, xi)
+            return xr, xi, key
+
+        return lax.fori_loop(0, config.n_steps_each, inner, (xr, xi, key))
+
+    def recon(params_S, params_T, yr, yi, key):
+        num_sens, BT, H, W, C = yr.shape
+        T = num_frames if num_frames is not None else BT
+        B = BT // T
+        xr, xi = lin_tfm.conj_op(yr, yi)
+        xr = xr.reshape(B, T, H, W, C)
+        xi = xi.reshape(B, T, H, W, C)
+        for c in range(L):
+            xr, xi, key = level_step(params_S, params_T, xr, xi, yr, yi,
+                                     jnp.int32(c), sigmas[c],
+                                     sigmas_T_full[c], key)
+            if (snapshot_fn is not None and config.snapshot_every > 0
+                    and c % config.snapshot_every == 0):
+                snapshot_fn(c, float(sigmas[c]), xr, xi)
+        return xr, xi
+
+    return recon

@@ -280,3 +280,62 @@ def test_pair_map_2d_time_matches_complex(sense_pair):
                                    atol=2e-3, err_msg=mode_T)
         np.testing.assert_allclose(np.asarray(xi), np.imag(np.asarray(ref)),
                                    atol=2e-3, err_msg=mode_T)
+
+
+def test_stepped_2d_time_matches_scanned(sense_pair):
+    """Host-stepped 2D+time reconstructor == scanned ald_2d_time_pair."""
+    from flax import linen as nn
+    from inverseproblemwithdiffusionmodel_tpu.samplers import (
+        ald_2d_time_pair, make_stepped_2d_time_pair_reconstructor)
+    from inverseproblemwithdiffusionmodel_tpu.operators.pair import (
+        PairSENSE, PairL2Penalty)
+    T = 4
+    sense, pair = sense_pair
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    base = jnp.exp(-(((yy - 8) ** 2 + (xx - 6) ** 2) / 20.0))
+    vol = jnp.stack([base * (0.8 + 0.05 * t) for t in range(T)])
+    fr = vol[..., None]
+    fi = jnp.zeros_like(fr)
+    yr, yi = pair(fr, fi)
+    sigmas = sigma_ladder(1.0, 0.01, 10)
+    sigmas_T = sigma_ladder(0.5, 0.01, 5)
+
+    class TinyNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, cond):
+            sig = cond.reshape((-1,) + (1,) * (x.ndim - 1))
+            w = self.param("w", nn.initializers.ones, ())
+            return -w * x / (sig ** 2 + 10.0)
+
+    mod_S, mod_T_net = TinyNet(), TinyNet()
+    ps = mod_S.init(jax.random.PRNGKey(0),
+                    jnp.zeros((2, H, W, 1)), jnp.ones((2,)))["params"]
+    pt = mod_T_net.init(jax.random.PRNGKey(1),
+                        jnp.zeros((2, T, 16)), jnp.ones((2,)))["params"]
+
+    def score_S(x, labels):
+        return mod_S.apply({"params": ps}, x, sigmas[labels])
+
+    from inverseproblemwithdiffusionmodel_tpu.samplers.ald import (
+        interp_sigmas_T)
+    sT_full = jnp.asarray(interp_sigmas_T(np.asarray(sigmas),
+                                          np.asarray(sigmas_T)))
+
+    def score_T(x, labels):
+        return mod_T_net.apply({"params": pt}, x, sT_full[labels])
+
+    prox = PairL2Penalty(lin_tfm=pair, num_iters=3)
+    cfg = ALDConfig(n_steps_each=2, step_lr=3e-5)
+    for mode_T in ("diffusion1d", "tv", "none"):
+        ref_r, ref_i = ald_2d_time_pair(
+            score_S, score_T, sigmas, sigmas_T, (yr, yi), pair, prox,
+            jax.random.PRNGKey(0), cfg, lr_scaled=50.0, mode_T=mode_T,
+            win_size=4, num_frames=T)
+        recon = make_stepped_2d_time_pair_reconstructor(
+            mod_S, mod_T_net, sigmas, sigmas_T, pair, prox, cfg,
+            lr_scaled=50.0, mode_T=mode_T, win_size=4, num_frames=T)
+        xr, xi = recon(ps, pt, yr, yi, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(xr), np.asarray(ref_r),
+                                   atol=1e-5, err_msg=mode_T)
+        np.testing.assert_allclose(np.asarray(xi), np.asarray(ref_i),
+                                   atol=1e-5, err_msg=mode_T)
