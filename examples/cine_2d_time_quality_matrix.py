@@ -114,7 +114,18 @@ def main(argv=None):
     p.add_argument("--n_steps_each", type=int, default=5)
     p.add_argument("--step_lr", type=float, default=6.2e-6)
     p.add_argument("--lr_scaled", type=float, default=30000.0)
-    p.add_argument("--lamda_T", type=float, default=1.0)
+    p.add_argument("--ald_lamdas", type=float, nargs="+",
+                   default=[0.3, 1.0, 3.0],
+                   help="temporal-step-size multipliers for the full ALD "
+                        "variant; tuned on video 0")
+    p.add_argument("--ald_tv_lamdas", type=float, nargs="+",
+                   default=[0.003, 0.01, 0.03],
+                   help="TV-subgradient step sizes for the ALD tv-temporal "
+                        "variant (reference finite_diff.py subgradient is "
+                        "applied unscaled per inner step; it must be small "
+                        "against the [0,1] pixel range)")
+    p.add_argument("--retrain", action="store_true",
+                   help="retrain priors even if saved ones exist")
     p.add_argument("--chains", type=int, default=4)
     p.add_argument("--map_iters", type=int, default=400)
     p.add_argument("--map_lr", type=float, default=5e-3)
@@ -163,21 +174,47 @@ def main(argv=None):
     log(f"ladder stability ratio {ratio:.1f} (must be >= 1)")
 
     # ---- train both priors ----------------------------------------------
+    from flax import serialization
+
     cfg_s = Config({"data": {"channels": 1, "image_size": S,
                              "logit_transform": False, "rescaled": False},
                     "model": {"ngf": args.ngf_s, "nonlinearity": "elu",
                               "normalization": "InstanceNorm++"}})
     module_S = NCSNv2(config=cfg_s)
-    params_S = train_score_net(module_S, frames, sigmas_S, 32, args.steps_s,
-                               args.seed, "spatial")
-
     cfg_t = Config({"data": {"channels": win * win, "image_size": T,
                              "logit_transform": False, "rescaled": False},
                     "model": {"ngf": args.ngf_t, "nonlinearity": "elu",
                               "normalization": "InstanceNorm++"}})
     module_T = NCSN1D(cfg_t)
-    params_T = train_score_net(module_T, tubes, sigmas_T, 128, args.steps_t,
-                               args.seed + 5, "temporal")
+
+    prior_dir = os.path.join(args.out, "priors")
+    os.makedirs(prior_dir, exist_ok=True)
+    ps_path = os.path.join(prior_dir, "spatial.msgpack")
+    pt_path = os.path.join(prior_dir, "temporal.msgpack")
+
+    def init_params(module, data, batch, seed):
+        x0 = jnp.zeros((batch,) + data.shape[1:])
+        return jax.jit(module.init)(jax.random.PRNGKey(seed), x0,
+                                    jnp.ones((batch,)))["params"]
+
+    if (not args.retrain and os.path.exists(ps_path)
+            and os.path.exists(pt_path)):
+        log("loading saved priors")
+        params_S = serialization.from_bytes(
+            init_params(module_S, frames, 32, args.seed),
+            open(ps_path, "rb").read())
+        params_T = serialization.from_bytes(
+            init_params(module_T, tubes, 128, args.seed + 5),
+            open(pt_path, "rb").read())
+    else:
+        params_S = train_score_net(module_S, frames, sigmas_S, 32,
+                                   args.steps_s, args.seed, "spatial")
+        params_T = train_score_net(module_T, tubes, sigmas_T, 128,
+                                   args.steps_t, args.seed + 5, "temporal")
+        open(ps_path, "wb").write(
+            serialization.to_bytes(jax.device_get(params_S)))
+        open(pt_path, "wb").write(
+            serialization.to_bytes(jax.device_get(params_T)))
 
     fwd_S = module_S if (args.f32 or jax.default_backend() == "cpu") \
         else BF16Wrap(module_S)
@@ -241,19 +278,36 @@ def main(argv=None):
             proxB = PairL2Penalty(lin_tfm=opB, num_iters=4)
             ald_cfg = ALDConfig(n_steps_each=args.n_steps_each,
                                 step_lr=args.step_lr)
-            for name, mode_T in (("ALD", "diffusion1d"),
-                                 ("ALD_spatial_only", "none"),
-                                 ("ALD_tv_only", "tv")):
+            def run_ald(mode_T, lamda_T, key_off):
                 recon = make_stepped_2d_time_pair_reconstructor(
                     fwd_S, fwd_T, sigmas_S, sigmas_T, opB, proxB, ald_cfg,
                     lr_scaled=args.lr_scaled, mode_T=mode_T,
-                    lamda_T=args.lamda_T, win_size=win, num_frames=T)
-                t0 = time.time()
+                    lamda_T=lamda_T, win_size=win, num_frames=T)
                 xr, xi = recon(params_S, params_T, yrB, yiB,
-                               jax.random.PRNGKey(args.seed + 11 + vid))
-                n, s, _ = eval_recon(xr, xi, vid)
-                log(f"R={R} vid{vid} {name}: NRMSE {n:.4f} SSIM {s:.4f} "
-                    f"({time.time() - t0:.0f}s)")
+                               jax.random.PRNGKey(args.seed + key_off))
+                return eval_recon(xr, xi, vid)
+
+            for name, mode_T, grid in (
+                    ("ALD", "diffusion1d", args.ald_lamdas),
+                    ("ALD_spatial_only", "none", [1.0]),
+                    ("ALD_tv_only", "tv", args.ald_tv_lamdas)):
+                t0 = time.time()
+                if vid == 0:
+                    best = None
+                    for lam in grid:
+                        n, s, _ = run_ald(mode_T, lam, 11 + vid)
+                        if len(grid) > 1:
+                            log(f"R={R} vid0 {name} lamda_T={lam}: "
+                                f"NRMSE {n:.4f} SSIM {s:.4f}")
+                        if best is None or n < best[0]:
+                            best = (n, s, lam)
+                    n, s, lam = best
+                    tuned.setdefault(f"R_{R}", {})[name] = lam
+                else:
+                    lam = tuned[f"R_{R}"][name]
+                    n, s, _ = run_ald(mode_T, lam, 11 + vid)
+                log(f"R={R} vid{vid} {name} (lamda_T={lam}): NRMSE {n:.4f} "
+                    f"SSIM {s:.4f} ({time.time() - t0:.0f}s)")
                 out_R.setdefault(name, []).append((n, s))
 
             # MAP variants (deterministic; prior weight tuned on video 0,
