@@ -126,6 +126,13 @@ def main(argv=None):
                         "against the [0,1] pixel range)")
     p.add_argument("--retrain", action="store_true",
                    help="retrain priors even if saved ones exist")
+    p.add_argument("--random_shift", action="store_true",
+                   help="random spatial shift before the temporal tube "
+                        "reshape (window de-aliasing; reference "
+                        "--if_random_shift)")
+    p.add_argument("--only", default=None,
+                   help="comma-separated variant names to run (e.g. "
+                        "'ALD,ALD_tv_only'); default all")
     p.add_argument("--chains", type=int, default=4)
     p.add_argument("--map_iters", type=int, default=400)
     p.add_argument("--map_lr", type=float, default=5e-3)
@@ -278,11 +285,15 @@ def main(argv=None):
             proxB = PairL2Penalty(lin_tfm=opB, num_iters=4)
             ald_cfg = ALDConfig(n_steps_each=args.n_steps_each,
                                 step_lr=args.step_lr)
+            only = (None if args.only is None
+                    else {v.strip() for v in args.only.split(",")})
+
             def run_ald(mode_T, lamda_T, key_off):
                 recon = make_stepped_2d_time_pair_reconstructor(
                     fwd_S, fwd_T, sigmas_S, sigmas_T, opB, proxB, ald_cfg,
                     lr_scaled=args.lr_scaled, mode_T=mode_T,
-                    lamda_T=lamda_T, win_size=win, num_frames=T)
+                    lamda_T=lamda_T, if_random_shift=args.random_shift,
+                    win_size=win, num_frames=T)
                 xr, xi = recon(params_S, params_T, yrB, yiB,
                                jax.random.PRNGKey(args.seed + key_off))
                 return eval_recon(xr, xi, vid)
@@ -291,6 +302,8 @@ def main(argv=None):
                     ("ALD", "diffusion1d", args.ald_lamdas),
                     ("ALD_spatial_only", "none", [1.0]),
                     ("ALD_tv_only", "tv", args.ald_tv_lamdas)):
+                if only is not None and name not in only:
+                    continue
                 t0 = time.time()
                 if vid == 0:
                     best = None
@@ -332,6 +345,8 @@ def main(argv=None):
             for name, mode_T in (("MAP", "diffusion1d"),
                                  ("MAP_spatial_only", "none"),
                                  ("MAP_tv_only", "tv")):
+                if only is not None and name not in only:
+                    continue
                 t0 = time.time()
                 f = run_map(mode_T)
                 if vid == 0:
@@ -354,34 +369,36 @@ def main(argv=None):
                 out_R.setdefault(name, []).append((n, s))
 
             # TV least squares on frames (reg weight tuned on video 0)
-            t0 = time.time()
+            if only is None or "TV" in only:
+                t0 = time.time()
 
-            @jax.jit
-            def f_tv(yr, yi, reg):
-                return tv_reconstruction_pair(
-                    (yr, yi), op1, reg_weight=reg,
-                    config=MAPConfig(n_iters=args.map_iters, lr=args.map_lr))
+                @jax.jit
+                def f_tv(yr, yi, reg):
+                    return tv_reconstruction_pair(
+                        (yr, yi), op1, reg_weight=reg,
+                        config=MAPConfig(n_iters=args.map_iters,
+                                         lr=args.map_lr))
 
-            if vid == 0:
-                best = None
-                for reg in args.tv_regs:
+                if vid == 0:
+                    best = None
+                    for reg in args.tv_regs:
+                        xr, xi = f_tv(yr1, yi1, reg)
+                        n, s, _ = eval_recon(xr.reshape(1, T, S, S, 1),
+                                             xi.reshape(1, T, S, S, 1), vid)
+                        log(f"R={R} vid0 TV reg={reg}: NRMSE {n:.4f} "
+                            f"SSIM {s:.4f}")
+                        if best is None or n < best[0]:
+                            best = (n, s, reg)
+                    n, s, reg = best
+                    tuned.setdefault(f"R_{R}", {})["TV"] = reg
+                else:
+                    reg = tuned[f"R_{R}"]["TV"]
                     xr, xi = f_tv(yr1, yi1, reg)
                     n, s, _ = eval_recon(xr.reshape(1, T, S, S, 1),
                                          xi.reshape(1, T, S, S, 1), vid)
-                    log(f"R={R} vid0 TV reg={reg}: NRMSE {n:.4f} "
-                        f"SSIM {s:.4f}")
-                    if best is None or n < best[0]:
-                        best = (n, s, reg)
-                n, s, reg = best
-                tuned.setdefault(f"R_{R}", {})["TV"] = reg
-            else:
-                reg = tuned[f"R_{R}"]["TV"]
-                xr, xi = f_tv(yr1, yi1, reg)
-                n, s, _ = eval_recon(xr.reshape(1, T, S, S, 1),
-                                     xi.reshape(1, T, S, S, 1), vid)
-            log(f"R={R} vid{vid} TV (reg={reg}): NRMSE {n:.4f} SSIM {s:.4f} "
-                f"({time.time() - t0:.0f}s)")
-            out_R.setdefault("TV", []).append((n, s))
+                log(f"R={R} vid{vid} TV (reg={reg}): NRMSE {n:.4f} "
+                    f"SSIM {s:.4f} ({time.time() - t0:.0f}s)")
+                out_R.setdefault("TV", []).append((n, s))
 
         results[f"R_{R}"] = {
             name: {"nrmse": round(float(np.mean([v[0] for v in vals])), 4),
@@ -410,9 +427,10 @@ def main(argv=None):
             row.append(f"{m['nrmse']:.4f} / {m['ssim']:.4f}" if m else "-")
         lines.append("| " + " | ".join(row) + " |")
     summary = "\n".join(lines) + "\n"
-    with open(os.path.join(args.out, "RESULTS.md"), "w") as f:
+    tag = "" if args.only is None else "_partial"
+    with open(os.path.join(args.out, f"RESULTS{tag}.md"), "w") as f:
         f.write(summary)
-    with open(os.path.join(args.out, "results.json"), "w") as f:
+    with open(os.path.join(args.out, f"results{tag}.json"), "w") as f:
         json.dump({"args": vars(args), "results": results,
                    "tuned_hyperparams": tuned}, f, indent=2)
     print(summary)
