@@ -126,6 +126,10 @@ def main(argv=None):
                         "against the [0,1] pixel range)")
     p.add_argument("--retrain", action="store_true",
                    help="retrain priors even if saved ones exist")
+    p.add_argument("--tube_shift_aug", type=int, default=0,
+                   help="N extra randomly-shifted tube extractions for "
+                        "temporal-prior training (pairs with "
+                        "--random_shift at sampling time)")
     p.add_argument("--random_shift", action="store_true",
                    help="random spatial shift before the temporal tube "
                         "reshape (window de-aliasing; reference "
@@ -170,6 +174,18 @@ def main(argv=None):
     train_vids, test_vids = vids[:-2], vids[-2:]
     frames = train_vids.reshape(-1, S, S)[..., None]        # (N*T, S, S, 1)
     tubes = reshape_temporal_dim_np(train_vids, win, win)   # (N', T, win^2)
+    if args.tube_shift_aug > 0:
+        # With --random_shift the sampler draws tubes from every window
+        # offset; train the temporal prior on shifted windows too
+        # (reference trains on aligned tubes only — ALD_optimizers.py:471
+        # shifts at sampling time without matching train-time aug).
+        rng_aug = np.random.RandomState(args.seed + 11)
+        parts = [tubes]
+        for _ in range(args.tube_shift_aug):
+            sh, sw = rng_aug.randint(0, win, 2)
+            rolled = np.roll(train_vids, (sh, sw), axis=(-2, -1))
+            parts.append(reshape_temporal_dim_np(rolled, win, win))
+        tubes = np.concatenate(parts, axis=0)
     log(f"train frames {frames.shape}, tubes {tubes.shape}")
 
     sigma_max_s = max_pairwise_distance(frames, max_samples=256)

@@ -61,6 +61,33 @@ def replicate(tree, mesh: Mesh):
     return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
 
 
+def tp_sharding(mesh: Mesh, leaf, min_size: int = 4096) -> NamedSharding:
+    """Tensor-parallel sharding rule for one parameter/optimizer leaf.
+
+    Shards the LAST axis (conv HWIO / dense IO output channels) over the
+    `model` mesh axis when the leaf is big enough and divisible; everything
+    else (biases, norm scales, scalars) stays replicated. GSPMD then
+    propagates the channel sharding through the network and inserts the
+    ICI collectives (all-gather on channel contractions) — the TPU-native
+    form of tensor parallelism, vs the reference's single-device
+    `torch.nn.DataParallel` (models/utils.py:93).
+    """
+    n_model = mesh.shape[MODEL_AXIS]
+    if (n_model > 1 and hasattr(leaf, "ndim") and leaf.ndim >= 2
+            and leaf.size >= min_size and leaf.shape[-1] % n_model == 0):
+        spec = [None] * (leaf.ndim - 1) + [MODEL_AXIS]
+        return NamedSharding(mesh, P(*spec))
+    return NamedSharding(mesh, P())
+
+
+def shard_tp(tree, mesh: Mesh, min_size: int = 4096):
+    """Place a params/TrainState pytree tensor-parallel over the mesh
+    `model` axis (see `tp_sharding`; optimizer moments and EMA copies have
+    param shapes, so one rule shards them all consistently)."""
+    return jax.tree_util.tree_map(
+        lambda a: jax.device_put(a, tp_sharding(mesh, a, min_size)), tree)
+
+
 def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
     """Pad axis to a multiple (so a batch shards evenly); returns (padded, n)."""
     n = x.shape[axis]

@@ -24,9 +24,16 @@ from ..utils.misc import collate_batch, stack_parts
 from ..parallel.mesh import data_sharding, replicated
 
 
-def _shard_args(mesh: Optional[Mesh]):
+def _shard_args(mesh: Optional[Mesh], tp: bool = False):
     if mesh is None:
         return {}
+    if tp:
+        # Tensor-parallel state: the caller places the TrainState with
+        # `parallel.shard_tp` (conv output channels over the `model` axis)
+        # and the batch with `shard_batch`; jit infers in/out shardings
+        # from the committed arguments and GSPMD inserts the channel
+        # collectives.
+        return dict(donate_argnums=(0,))
     batch_sh = data_sharding(mesh)
     repl = replicated(mesh)
     return dict(in_shardings=(repl, batch_sh, repl), out_shardings=(repl, repl),
@@ -41,6 +48,7 @@ def make_score_train_step(
     mesh: Optional[Mesh] = None,
     filter_th: Optional[float] = None,
     remat: bool = False,
+    tp: bool = False,
 ) -> Callable[[TrainState, jnp.ndarray, jax.Array], Tuple[TrainState, jnp.ndarray]]:
     """DSM train step. For 'real-imag' modes the loss is the mean of the DSM
     losses on the real and imaginary parts (reference:
@@ -52,6 +60,9 @@ def make_score_train_step(
     remat: rematerialize the forward in the backward pass (jax.checkpoint)
     — trades ~1 extra forward of FLOPs for activation memory, enabling
     full-resolution (256^2 ngf128) training batches on one chip.
+    tp: tensor-parallel state over the mesh `model` axis — place the state
+    with `parallel.shard_tp` and the batch with `parallel.shard_batch`
+    before calling (see `_shard_args`).
     """
     sigmas = jnp.asarray(sigmas)
 
@@ -86,7 +97,7 @@ def make_score_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)
         return state.apply_gradients(grads), loss
 
-    return jax.jit(step, **_shard_args(mesh))
+    return jax.jit(step, **_shard_args(mesh, tp=tp))
 
 
 def make_continuous_score_train_step(
