@@ -77,7 +77,12 @@ class BF16Wrap:
         return out.astype(jnp.float32)
 
 
-def train_score_net(module, data, sigmas, batch, steps, seed, tag):
+def train_score_net(module, data, sigmas, batch, steps, seed, tag,
+                    ckpt_path=None):
+    """Per-step keys/batches are derived from the step index, so a run
+    resumed from the mid-training checkpoint replays the same stream."""
+    from flax import serialization
+
     x0 = jnp.zeros((batch,) + data.shape[1:])
     params = jax.jit(module.init)(jax.random.PRNGKey(seed), x0,
                                   jnp.ones((batch,)))["params"]
@@ -85,17 +90,32 @@ def train_score_net(module, data, sigmas, batch, steps, seed, tag):
                                "beta1": 0.9, "eps": 1e-8,
                                "weight_decay": 0.0, "grad_clip": 1.0}})
     state = TrainState.create(params, get_optimizer(config), ema_decay=0.999)
+    start = 0
+    if ckpt_path and os.path.exists(ckpt_path):
+        target = {"step": 0, "state": state}
+        restored = serialization.from_bytes(target,
+                                            open(ckpt_path, "rb").read())
+        start, state = restored["step"], restored["state"]
+        log(f"{tag}: resumed mid-training checkpoint at step {start}")
     step = make_score_train_step(module, sigmas, data_mode="real-imag")
-    rng = np.random.RandomState(seed)
-    key = jax.random.PRNGKey(seed + 1)
+    base_key = jax.random.PRNGKey(seed + 1)
+    every = max(steps // 8, 1)
     t0 = time.time()
-    for i in range(steps):
-        key, k = jax.random.split(key)
-        batch_x = jnp.asarray(data[rng.choice(len(data), batch)])
-        state, loss = step(state, batch_x, k)
-        if i % max(steps // 8, 1) == 0 or i == steps - 1:
+    for i in range(start, steps):
+        k = jax.random.fold_in(base_key, i)
+        idx = np.random.RandomState([seed, i]).choice(len(data), batch)
+        state, loss = step(state, jnp.asarray(data[idx]), k)
+        if i % every == 0 or i == steps - 1:
             log(f"{tag} step {i}: loss {float(loss):.2f} "
                 f"({time.time() - t0:.0f}s)")
+            if ckpt_path and i > start:
+                blob = serialization.to_bytes(
+                    {"step": i + 1, "state": jax.device_get(state)})
+                tmp = ckpt_path + ".tmp"
+                open(tmp, "wb").write(blob)
+                os.replace(tmp, ckpt_path)
+    if ckpt_path and os.path.exists(ckpt_path):
+        os.remove(ckpt_path)
     return state.eval_params
 
 
@@ -220,24 +240,26 @@ def main(argv=None):
         return jax.jit(module.init)(jax.random.PRNGKey(seed), x0,
                                     jnp.ones((batch,)))["params"]
 
-    if (not args.retrain and os.path.exists(ps_path)
-            and os.path.exists(pt_path)):
-        log("loading saved priors")
-        params_S = serialization.from_bytes(
-            init_params(module_S, frames, 32, args.seed),
-            open(ps_path, "rb").read())
-        params_T = serialization.from_bytes(
-            init_params(module_T, tubes, 128, args.seed + 5),
-            open(pt_path, "rb").read())
-    else:
-        params_S = train_score_net(module_S, frames, sigmas_S, 32,
-                                   args.steps_s, args.seed, "spatial")
-        params_T = train_score_net(module_T, tubes, sigmas_T, 128,
-                                   args.steps_t, args.seed + 5, "temporal")
-        open(ps_path, "wb").write(
-            serialization.to_bytes(jax.device_get(params_S)))
-        open(pt_path, "wb").write(
-            serialization.to_bytes(jax.device_get(params_T)))
+    # per-net load-or-train: an interrupted run (spatial saved, temporal
+    # mid-flight) resumes without redoing finished work — rerun WITHOUT
+    # --retrain and the finished prior loads while the other resumes from
+    # its mid-training checkpoint
+    def get_params(module, data, sigmas_net, batch, steps, seed, tag, path):
+        if not args.retrain and os.path.exists(path):
+            log(f"loading saved {tag} prior")
+            return serialization.from_bytes(
+                init_params(module, data, batch, seed),
+                open(path, "rb").read())
+        params = train_score_net(module, data, sigmas_net, batch, steps,
+                                 seed, tag, ckpt_path=path + ".ckpt")
+        open(path, "wb").write(
+            serialization.to_bytes(jax.device_get(params)))
+        return params
+
+    params_S = get_params(module_S, frames, sigmas_S, 32, args.steps_s,
+                          args.seed, "spatial", ps_path)
+    params_T = get_params(module_T, tubes, sigmas_T, 128, args.steps_t,
+                          args.seed + 5, "temporal", pt_path)
 
     fwd_S = module_S if (args.f32 or jax.default_backend() == "cpu") \
         else BF16Wrap(module_S)
