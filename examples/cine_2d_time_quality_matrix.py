@@ -297,6 +297,7 @@ def main(argv=None):
         mask = generate_mask(T, S, seed=args.seed + R, **preset)
         mask = jnp.asarray(mask.reshape(T, 1, S, 1), jnp.float32)
         out_R = {}
+        mags_R = {}     # vid-0 tuned-best magnitudes -> PNG/GIF artifacts
         for vid in range(2):
             # measurement for this video (B=1 chain geometry)
             def make_op(B):
@@ -311,9 +312,12 @@ def main(argv=None):
             yr1, yi1 = op1(fr, fi)                 # (4, T, S, S, 1)
 
             zr, zi = op1.conj_op(yr1, yi1)
-            n, s, _ = eval_recon(zr.reshape(1, T, S, S, 1),
+            n, s, m = eval_recon(zr.reshape(1, T, S, S, 1),
                                  zi.reshape(1, T, S, S, 1), vid)
             out_R.setdefault("ZF", []).append((n, s))
+            if vid == 0:
+                mags_R["ZF"] = m
+                mags_R["original"] = np.asarray(truth[0])
 
             # ALD variants (ensemble of chains)
             B = args.chains
@@ -346,13 +350,13 @@ def main(argv=None):
                 if vid == 0:
                     best = None
                     for lam in grid:
-                        n, s, _ = run_ald(mode_T, lam, 11 + vid)
+                        n, s, m = run_ald(mode_T, lam, 11 + vid)
                         if len(grid) > 1:
                             log(f"R={R} vid0 {name} lamda_T={lam}: "
                                 f"NRMSE {n:.4f} SSIM {s:.4f}")
                         if best is None or n < best[0]:
-                            best = (n, s, lam)
-                    n, s, lam = best
+                            best = (n, s, lam, m)
+                    n, s, lam, mags_R[name] = best
                     tuned.setdefault(f"R_{R}", {})[name] = lam
                 else:
                     lam = tuned[f"R_{R}"][name]
@@ -391,12 +395,12 @@ def main(argv=None):
                     best = None
                     for lam in args.map_lamdas:
                         xr, xi = f(params_S, params_T, yr1, yi1, lam)
-                        n, s, _ = eval_recon(xr, xi, vid)
+                        n, s, m = eval_recon(xr, xi, vid)
                         log(f"R={R} vid0 {name} lamda={lam}: "
                             f"NRMSE {n:.4f} SSIM {s:.4f}")
                         if best is None or n < best[0]:
-                            best = (n, s, lam)
-                    n, s, lam = best
+                            best = (n, s, lam, m)
+                    n, s, lam, mags_R[name] = best
                     tuned.setdefault(f"R_{R}", {})[name] = lam
                 else:
                     lam = tuned[f"R_{R}"][name]
@@ -421,13 +425,13 @@ def main(argv=None):
                     best = None
                     for reg in args.tv_regs:
                         xr, xi = f_tv(yr1, yi1, reg)
-                        n, s, _ = eval_recon(xr.reshape(1, T, S, S, 1),
+                        n, s, m = eval_recon(xr.reshape(1, T, S, S, 1),
                                              xi.reshape(1, T, S, S, 1), vid)
                         log(f"R={R} vid0 TV reg={reg}: NRMSE {n:.4f} "
                             f"SSIM {s:.4f}")
                         if best is None or n < best[0]:
-                            best = (n, s, reg)
-                    n, s, reg = best
+                            best = (n, s, reg, m)
+                    n, s, reg, mags_R["TV"] = best
                     tuned.setdefault(f"R_{R}", {})["TV"] = reg
                 else:
                     reg = tuned[f"R_{R}"]["TV"]
@@ -447,6 +451,18 @@ def main(argv=None):
             os.makedirs(d, exist_ok=True)
             with open(os.path.join(d, "metrics.txt"), "w") as f:
                 f.write(f"NRMSE: {m['nrmse']}, SSIM: {m['ssim']}\n")
+
+        # qualitative artifacts (reference: readme_images/
+        # qualitative_2d_time_readme/R_*/{variant}/): frame strip + GIF of
+        # the vid-0 tuned-best reconstruction per variant
+        from inverseproblemwithdiffusionmodel_tpu.utils.visualizations \
+            import grid_of_temporal_samples, save_vol_as_gif
+        for name, mag in mags_R.items():
+            d = os.path.join(args.out, f"R_{R}", name)
+            os.makedirs(d, exist_ok=True)
+            grid_of_temporal_samples(np.asarray(mag), num_frames=6,
+                                     save_path=os.path.join(d, "frames.png"))
+            save_vol_as_gif(np.asarray(mag), os.path.join(d, "recon.gif"))
 
     # ---- summary ---------------------------------------------------------
     order = ["ZF", "ALD", "ALD_spatial_only", "ALD_tv_only",
