@@ -159,6 +159,21 @@ def make_apply_fn(module, params) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return apply_fn
 
 
+def get_model_fn(module, params, train: bool = False
+                 ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
+    """Raw model forward `(x, cond) -> out` (reference: models/utils.py:97's
+    train/eval switch). Flax modules here are pure functions of params —
+    there is no global train/eval mode to flip — so `train` only selects
+    stochastic-layer behavior when a module supports it (none of the ncsn
+    family does; the flag exists for API parity)."""
+    del train
+
+    def model_fn(x, cond):
+        return module.apply({"params": params}, x, cond)
+
+    return model_fn
+
+
 def make_tube_score_fn_3d(module, params, sigmas: jnp.ndarray, win: int
                           ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Score adapter for a 3-D (2D+time) net consuming pixel-tube batches.

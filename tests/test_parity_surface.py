@@ -30,7 +30,7 @@ SURFACE = [
                              "NoneCorrector", "get_score_fn"]),
     # §2.3 continuous model zoo
     (f"{PKG}.models.registry", ["register_model", "get_model", "create_model",
-                                "get_network", "make_score_fn",
+                                "get_network", "make_score_fn", "get_model_fn",
                                 "TASK_NAME_TO_MODEL_CTOR"]),
     (f"{PKG}.models.ncsnpp", ["NCSNpp"]),
     (f"{PKG}.models.ddpm", ["DDPM"]),
