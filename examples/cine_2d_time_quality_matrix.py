@@ -78,9 +78,16 @@ class BF16Wrap:
 
 
 def train_score_net(module, data, sigmas, batch, steps, seed, tag,
-                    ckpt_path=None):
+                    ckpt_path=None, retrain=False):
     """Per-step keys/batches are derived from the step index, so a run
-    resumed from the mid-training checkpoint replays the same stream."""
+    resumed from the mid-training checkpoint replays the same stream.
+
+    A fingerprint of (steps, seed, batch, param shapes) guards the resume:
+    checkpoints from different settings are ignored, not silently restored
+    (flax from_bytes does NOT validate leaf shapes). The caller deletes the
+    checkpoint only after the final prior file is safely written.
+    """
+    import hashlib
     from flax import serialization
 
     x0 = jnp.zeros((batch,) + data.shape[1:])
@@ -90,13 +97,31 @@ def train_score_net(module, data, sigmas, batch, steps, seed, tag,
                                "beta1": 0.9, "eps": 1e-8,
                                "weight_decay": 0.0, "grad_clip": 1.0}})
     state = TrainState.create(params, get_optimizer(config), ema_decay=0.999)
+    shapes = str([tuple(np.shape(l))
+                  for l in jax.tree_util.tree_leaves(params)])
+    fp = hashlib.sha1(
+        f"{steps}|{seed}|{batch}|{shapes}".encode()).hexdigest()[:12]
+    fp_path = (ckpt_path + ".fp") if ckpt_path else None
+    if ckpt_path and retrain:
+        for pth in (ckpt_path, fp_path):
+            if os.path.exists(pth):
+                os.remove(pth)
     start = 0
     if ckpt_path and os.path.exists(ckpt_path):
-        target = {"step": 0, "state": state}
-        restored = serialization.from_bytes(target,
-                                            open(ckpt_path, "rb").read())
-        start, state = restored["step"], restored["state"]
-        log(f"{tag}: resumed mid-training checkpoint at step {start}")
+        saved_fp = (open(fp_path).read().strip()
+                    if os.path.exists(fp_path) else fp)
+        if saved_fp != fp:
+            log(f"{tag}: ignoring stale checkpoint (settings changed)")
+        else:
+            try:
+                restored = serialization.from_bytes(
+                    {"step": 0, "state": state},
+                    open(ckpt_path, "rb").read())
+                start, state = restored["step"], restored["state"]
+                log(f"{tag}: resumed mid-training checkpoint at "
+                    f"step {start}")
+            except Exception as e:   # corrupt/incompatible blob
+                log(f"{tag}: ignoring unreadable checkpoint ({e})")
     step = make_score_train_step(module, sigmas, data_mode="real-imag")
     base_key = jax.random.PRNGKey(seed + 1)
     every = max(steps // 8, 1)
@@ -114,8 +139,8 @@ def train_score_net(module, data, sigmas, batch, steps, seed, tag,
                 tmp = ckpt_path + ".tmp"
                 open(tmp, "wb").write(blob)
                 os.replace(tmp, ckpt_path)
-    if ckpt_path and os.path.exists(ckpt_path):
-        os.remove(ckpt_path)
+                if not os.path.exists(fp_path):
+                    open(fp_path, "w").write(fp)
     return state.eval_params
 
 
@@ -146,6 +171,12 @@ def main(argv=None):
                         "against the [0,1] pixel range)")
     p.add_argument("--retrain", action="store_true",
                    help="retrain priors even if saved ones exist")
+    p.add_argument("--filter_t", type=float, default=0.0,
+                   help="TV-norm foreground threshold for temporal tubes "
+                        "(reference cine127_1d.yml th: 0.05 + "
+                        "helpers/load_data.py:417 filter_batch); static "
+                        "background tubes are dropped so the 1-D prior "
+                        "trains on dynamics. 0 disables")
     p.add_argument("--tube_shift_aug", type=int, default=0,
                    help="N extra randomly-shifted tube extractions for "
                         "temporal-prior training (pairs with "
@@ -206,6 +237,13 @@ def main(argv=None):
             rolled = np.roll(train_vids, (sh, sw), axis=(-2, -1))
             parts.append(reshape_temporal_dim_np(rolled, win, win))
         tubes = np.concatenate(parts, axis=0)
+    if args.filter_t > 0:
+        tv = np.abs(np.roll(tubes, -1, axis=1) - tubes).sum(axis=(1, 2)) \
+            / (tubes.shape[1] * tubes.shape[2])
+        keep = tv > args.filter_t
+        log(f"foreground tube filter (th={args.filter_t}): "
+            f"{int(keep.sum())}/{len(keep)} tubes kept")
+        tubes = tubes[keep]
     log(f"train frames {frames.shape}, tubes {tubes.shape}")
 
     sigma_max_s = max_pairwise_distance(frames, max_samples=256)
@@ -251,9 +289,16 @@ def main(argv=None):
                 init_params(module, data, batch, seed),
                 open(path, "rb").read())
         params = train_score_net(module, data, sigmas_net, batch, steps,
-                                 seed, tag, ckpt_path=path + ".ckpt")
-        open(path, "wb").write(
+                                 seed, tag, ckpt_path=path + ".ckpt",
+                                 retrain=args.retrain)
+        tmp = path + ".tmp"
+        open(tmp, "wb").write(
             serialization.to_bytes(jax.device_get(params)))
+        os.replace(tmp, path)
+        # only now is the mid-training checkpoint safe to drop
+        for pth in (path + ".ckpt", path + ".ckpt.fp"):
+            if os.path.exists(pth):
+                os.remove(pth)
         return params
 
     params_S = get_params(module_S, frames, sigmas_S, 32, args.steps_s,
