@@ -47,7 +47,10 @@ def main(argv=None):
                         "memory savings for 256^2 training)")
     p.add_argument("--filter_th", type=float, default=None,
                    help="TV foreground threshold for 1D tube batches "
-                        "(background tubes get zero loss weight)")
+                        "(background tubes get zero loss weight); defaults "
+                        "to config data.th when present (reference applies "
+                        "filter_batch from config, pl_helpers.py:156 — a "
+                        "no-op for non-1D batches)")
     p.add_argument("--override", action="append", default=[],
                    metavar="KEY=VALUE")
     p.add_argument("--seed", type=int, default=42)
@@ -56,6 +59,8 @@ def main(argv=None):
     from ._common import apply_overrides
     config = apply_overrides(load_config(args.ds_name, args.mode),
                              args.override)
+    if args.filter_th is None:
+        args.filter_th = config.data.get("th", None)
     batch_size = args.batch_size or config.training.batch_size
     n_epochs = args.n_epochs or config.training.n_epochs
     if args.train_mode == "debug":
