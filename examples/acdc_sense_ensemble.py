@@ -1,0 +1,307 @@
+"""ACDC SENSE ensemble experiment: the reference's README headline claim
+(README.md:12 — "mean of 105 [ALD] reconstructions ... outperforms MAP and
+TV") run hermetically on synthetic short-axis cardiac slices.
+
+Trains an NCSNv2 score prior, then reconstructs an R=40 4-coil SENSE
+measurement (uniform Cartesian lines + guaranteed center band, the
+reference's commented-out uniform-mask path at
+ncsn/linear_transforms/undersampling_fourier.py:50-61) with:
+
+  ZF | ALD ensemble mean (--chains, default 105) | MAP | TV
+
+MAP prior weight and TV regularizer weight are tuned on a validation
+slice; all methods report on a held-out test slice. Runs in the real-pair
+pipeline (no complex dtypes, TPU fast path).
+
+  python examples/acdc_sense_ensemble.py \\
+      [--quick] [--steps 12000] [--chains 105] [--out runs/acdc_sense]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/ipdm_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from cine_2d_time_quality_matrix import BF16Wrap, train_score_net  # noqa: E402
+
+from inverseproblemwithdiffusionmodel_tpu.config import Config
+from inverseproblemwithdiffusionmodel_tpu.data.datasets import (
+    synthetic_acdc_slice)
+from inverseproblemwithdiffusionmodel_tpu.data import transforms as dT
+from inverseproblemwithdiffusionmodel_tpu.models.ncsnv2 import NCSNv2
+from inverseproblemwithdiffusionmodel_tpu.operators.fourier import (
+    _exp_sens_map)
+from inverseproblemwithdiffusionmodel_tpu.operators.masks import (
+    random_cartesian_mask)
+from inverseproblemwithdiffusionmodel_tpu.operators.pair import (
+    PairSENSE, PairL2Penalty)
+from inverseproblemwithdiffusionmodel_tpu.ops.resize import (
+    resize_align_corners)
+from inverseproblemwithdiffusionmodel_tpu.samplers import (
+    ALDConfig, MAPConfig, map_optimizer_pair, tv_reconstruction_pair)
+from inverseproblemwithdiffusionmodel_tpu.samplers.ald_pair import (
+    make_stepped_pair_reconstructor)
+from inverseproblemwithdiffusionmodel_tpu.samplers.sigmas import (
+    sigma_ladder, check_ladder_stability)
+from inverseproblemwithdiffusionmodel_tpu.training import (
+    TrainState, get_optimizer, make_score_train_step)
+from inverseproblemwithdiffusionmodel_tpu.utils.dataset_stats import (
+    max_pairwise_distance)
+from inverseproblemwithdiffusionmodel_tpu.utils.metrics import nrmse, ssim
+
+
+def log(msg):
+    print(f"[acdc] {msg}", flush=True)
+
+
+def make_dataset(n: int, size: int, seed: int) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    out = np.empty((n, size, size, 1), np.float32)
+    for i in range(n):
+        img, _ = synthetic_acdc_slice(rng)
+        img = dT.scale_intensity(img)
+        out[i, ..., 0] = dT.resize(img, (size, size))[0]
+    return out
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=64)
+    p.add_argument("--ngf", type=int, default=48)
+    p.add_argument("--n_train", type=int, default=400)
+    p.add_argument("--steps", type=int, default=12000)
+    p.add_argument("--levels", type=int, default=232)
+    p.add_argument("--n_steps_each", type=int, default=5)
+    p.add_argument("--step_lr", type=float, default=6.2e-6)
+    p.add_argument("--lr_scaled", type=float, default=30000.0)
+    p.add_argument("--chains", type=int, default=105,
+                   help="ALD ensemble size (README.md:12: 'mean of 105')")
+    p.add_argument("--chain_chunk", type=int, default=35,
+                   help="chains per device batch (chunks the ensemble)")
+    p.add_argument("--R", type=int, default=40)
+    p.add_argument("--center_frac", type=float, default=1 / 16)
+    p.add_argument("--num_sens", type=int, default=4)
+    p.add_argument("--map_iters", type=int, default=400)
+    p.add_argument("--map_lr", type=float, default=5e-3)
+    p.add_argument("--map_lamdas", type=float, nargs="+",
+                   default=[0.01, 0.03, 0.1, 0.3])
+    p.add_argument("--tv_regs", type=float, nargs="+",
+                   default=[0.003, 0.01, 0.03, 0.1])
+    p.add_argument("--retrain", action="store_true")
+    p.add_argument("--f32", action="store_true")
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="runs/acdc_sense")
+    args = p.parse_args(argv)
+    if args.quick:
+        args.size, args.ngf, args.n_train = 32, 16, 32
+        args.steps, args.levels = 60, 16
+        args.chains, args.chain_chunk = 4, 2
+        args.map_iters = 30
+        args.map_lamdas, args.tv_regs = [0.3], [0.03]
+    os.makedirs(args.out, exist_ok=True)
+    S = args.size
+
+    # ---- data + prior --------------------------------------------------
+    data = make_dataset(args.n_train, S, args.seed)
+    sigma_max = max_pairwise_distance(data, max_samples=256)
+    sigmas = sigma_ladder(sigma_max, 0.01, args.levels)
+    ratio = check_ladder_stability(sigmas, args.n_steps_each, args.step_lr)
+    log(f"{data.shape} slices; sigma_max {sigma_max:.1f}; "
+        f"ladder stability {ratio:.1f}")
+
+    config = Config({"data": {"channels": 1, "image_size": S,
+                              "logit_transform": False, "rescaled": False},
+                     "model": {"ngf": args.ngf, "nonlinearity": "elu",
+                               "normalization": "InstanceNorm++"}})
+    module = NCSNv2(config=config)
+    prior_path = os.path.join(args.out, "prior.msgpack")
+    from flax import serialization
+    if not args.retrain and os.path.exists(prior_path):
+        log("loading saved prior")
+        x0 = jnp.zeros((32, S, S, 1))
+        params = jax.jit(module.init)(jax.random.PRNGKey(args.seed), x0,
+                                      jnp.ones((32,)))["params"]
+        params = serialization.from_bytes(params,
+                                          open(prior_path, "rb").read())
+    else:
+        params = train_score_net(module, data, sigmas, 32, args.steps,
+                                 args.seed, "prior",
+                                 ckpt_path=prior_path + ".ckpt",
+                                 retrain=args.retrain)
+        tmp = prior_path + ".tmp"
+        open(tmp, "wb").write(
+            serialization.to_bytes(jax.device_get(params)))
+        os.replace(tmp, prior_path)
+        for pth in (prior_path + ".ckpt", prior_path + ".ckpt.fp"):
+            if os.path.exists(pth):
+                os.remove(pth)
+    fwd = module if (args.f32 or jax.default_backend() == "cpu") \
+        else BF16Wrap(module)
+
+    # ---- R=40 4-coil SENSE measurement ---------------------------------
+    # held-out slices: [0] = test (reported), [1] = val (hyperparam tuning)
+    test = make_dataset(2, S, args.seed + 777)
+    mask = random_cartesian_mask(S, args.R, args.center_frac,
+                                 seed=args.seed).reshape(1, 1, S, 1)
+    log(f"mask keeps {int(mask.sum())}/{S} lines (R={args.R}, "
+        f"center {args.center_frac:.3f})")
+    maps = np.stack([_exp_sens_map(S, S, args.seed + i)
+                     for i in range(args.num_sens)])
+    maps = maps / np.sqrt((maps ** 2).sum(axis=0, keepdims=True))
+
+    def make_op(B):
+        return PairSENSE(
+            mask=jnp.asarray(np.tile(mask, (B, 1, 1, 1)), jnp.float32),
+            sens_re=jnp.asarray(maps[..., None], jnp.float32),
+            sens_im=jnp.zeros((args.num_sens, S, S, 1), jnp.float32))
+
+    patch = jax.random.normal(jax.random.PRNGKey(args.seed + 3),
+                              (2, 5, 5, 1))
+    phase = resize_align_corners(patch, (S, S), axes=(1, 2))
+    results, mags = {}, {}
+    for role, idx in (("test", 0), ("val", 1)):
+        truth = jnp.asarray(test[idx:idx + 1])          # (1, S, S, 1)
+        xr_t = truth * jnp.cos(phase[idx:idx + 1])
+        xi_t = truth * jnp.sin(phase[idx:idx + 1])
+        op1 = make_op(1)
+        yr, yi = op1(xr_t, xi_t)                        # (4, 1, S, S, 1)
+        results[role] = dict(truth=truth, yr=yr, yi=yi, op1=op1)
+
+    def eval_mag(mag, role):
+        t = results[role]["truth"][0]
+        return (float(nrmse(mag, t)),
+                float(ssim(mag[..., 0], t[..., 0])))
+
+    out_rows = {}
+
+    # ZF
+    r = results["test"]
+    zr, zi = r["op1"].conj_op(r["yr"], r["yi"])
+    zf_mag = jnp.sqrt(zr ** 2 + zi ** 2)[0]
+    out_rows["ZF"] = eval_mag(zf_mag, "test")
+    mags["ZF"] = np.asarray(zf_mag)
+    mags["original"] = np.asarray(results["test"]["truth"][0])
+    log(f"ZF: NRMSE {out_rows['ZF'][0]:.4f} SSIM {out_rows['ZF'][1]:.4f}")
+
+    # ALD ensemble, chunked over chains (the ensemble axis is the mesh/DP
+    # axis in production; on one chip we chunk the batch)
+    cfg = ALDConfig(n_steps_each=args.n_steps_each, step_lr=args.step_lr)
+    B = args.chain_chunk
+    opB = make_op(B)
+    recon = make_stepped_pair_reconstructor(
+        fwd, sigmas, opB, PairL2Penalty(lin_tfm=opB, num_iters=6), cfg,
+        lr_scaled=args.lr_scaled)
+    n_chunks = (args.chains + B - 1) // B
+    yrB = jnp.tile(r["yr"], (1, B, 1, 1, 1))
+    yiB = jnp.tile(r["yi"], (1, B, 1, 1, 1))
+    t0 = time.time()
+    acc_re, acc_im = [], []
+    for c in range(n_chunks):
+        xr, xi = recon(params, yrB, yiB,
+                       jax.random.PRNGKey(args.seed + 100 + c))
+        acc_re.append(np.asarray(xr))
+        acc_im.append(np.asarray(xi))
+    xr = np.concatenate(acc_re)[: args.chains]
+    xi = np.concatenate(acc_im)[: args.chains]
+    wall = time.time() - t0
+    ens_mag = jnp.asarray(np.sqrt(xr ** 2 + xi ** 2).mean(axis=0))
+    out_rows["ALD"] = eval_mag(ens_mag, "test")
+    mags["ALD"] = np.asarray(ens_mag)
+    mags["ALD_std"] = np.sqrt(xr ** 2 + xi ** 2).std(axis=0)
+    log(f"ALD x{args.chains}: NRMSE {out_rows['ALD'][0]:.4f} "
+        f"SSIM {out_rows['ALD'][1]:.4f} ({wall:.0f}s)")
+
+    # MAP (prior weight tuned on val)
+    map_cfg = MAPConfig(n_iters=args.map_iters, lr=args.map_lr)
+
+    @jax.jit
+    def f_map(ps, yr, yi, lamda):
+        def score_fn(x, labels):
+            return fwd.apply({"params": ps}, x, sigmas[labels])
+        return map_optimizer_pair(score_fn, (yr, yi), op1, lamda,
+                                  config=map_cfg)
+
+    best = None
+    for lam in args.map_lamdas:
+        v = results["val"]
+        xr1, xi1 = f_map(params, v["yr"], v["yi"], lam)
+        n, s = eval_mag(jnp.sqrt(xr1 ** 2 + xi1 ** 2)[0], "val")
+        log(f"val MAP lamda={lam}: NRMSE {n:.4f} SSIM {s:.4f}")
+        if best is None or n < best[0]:
+            best = (n, lam)
+    lam = best[1]
+    xr1, xi1 = f_map(params, r["yr"], r["yi"], lam)
+    map_mag = jnp.sqrt(xr1 ** 2 + xi1 ** 2)[0]
+    out_rows["MAP"] = eval_mag(map_mag, "test")
+    mags["MAP"] = np.asarray(map_mag)
+    log(f"MAP (lamda={lam}): NRMSE {out_rows['MAP'][0]:.4f} "
+        f"SSIM {out_rows['MAP'][1]:.4f}")
+
+    # TV (reg weight tuned on val)
+    @jax.jit
+    def f_tv(yr, yi, reg):
+        return tv_reconstruction_pair((yr, yi), op1, reg_weight=reg,
+                                      config=map_cfg)
+
+    best = None
+    for reg in args.tv_regs:
+        v = results["val"]
+        xr1, xi1 = f_tv(v["yr"], v["yi"], reg)
+        n, s = eval_mag(jnp.sqrt(xr1 ** 2 + xi1 ** 2)[0], "val")
+        log(f"val TV reg={reg}: NRMSE {n:.4f} SSIM {s:.4f}")
+        if best is None or n < best[0]:
+            best = (n, reg)
+    reg = best[1]
+    xr1, xi1 = f_tv(r["yr"], r["yi"], reg)
+    tv_mag = jnp.sqrt(xr1 ** 2 + xi1 ** 2)[0]
+    out_rows["TV"] = eval_mag(tv_mag, "test")
+    mags["TV"] = np.asarray(tv_mag)
+    log(f"TV (reg={reg}): NRMSE {out_rows['TV'][0]:.4f} "
+        f"SSIM {out_rows['TV'][1]:.4f}")
+
+    # ---- artifacts ------------------------------------------------------
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    names = ["original", "ZF", "ALD", "MAP", "TV"]
+    fig, axes = plt.subplots(1, len(names) + 1, figsize=(3 * 6, 3.2))
+    for ax, name in zip(axes, names):
+        ax.imshow(np.squeeze(mags[name]), cmap="gray")
+        title = name if name == "original" else (
+            f"{name}\nNRMSE {out_rows[name][0]:.3f} / "
+            f"SSIM {out_rows[name][1]:.3f}")
+        ax.set_title(title, fontsize=9)
+        ax.set_axis_off()
+    axes[-1].imshow(np.squeeze(mags["ALD_std"]), cmap="viridis")
+    axes[-1].set_title(f"ALD std ({args.chains} chains)", fontsize=9)
+    axes[-1].set_axis_off()
+    fig.tight_layout()
+    fig.savefig(os.path.join(args.out, "comparison.png"), dpi=130)
+    plt.close(fig)
+
+    rows = {k: {"nrmse": round(v[0], 4), "ssim": round(v[1], 4)}
+            for k, v in out_rows.items()}
+    with open(os.path.join(args.out, "metrics.txt"), "w") as f:
+        for k, v in rows.items():
+            f.write(f"{k}: NRMSE {v['nrmse']}, SSIM {v['ssim']}\n")
+    with open(os.path.join(args.out, "results.json"), "w") as f:
+        json.dump({"args": vars(args), "results": rows}, f, indent=2)
+    log(json.dumps(rows))
+    return rows
+
+
+if __name__ == "__main__":
+    main()
