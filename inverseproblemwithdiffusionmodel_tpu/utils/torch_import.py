@@ -1,0 +1,263 @@
+"""Import reference PyTorch checkpoints into this framework.
+
+The reference trains its score nets with PyTorch Lightning and stores the
+EMA weights inside the checkpoint under ``callbacks.EMA.ema_state_dict``
+with a ``model.`` key prefix (helpers/pl_callbacks.py:110-121,
+helpers/utils.py:161-170). A migrating user's most valuable artifacts are
+those trained weights; this module converts them into Flax param pytrees
+for the NCSNv2 family (2-D ``NCSNv2/Deeper/Deepest`` — ncsn/models/
+ncsnv2.py:11,104,198 — and their 1-D twins, ncsn/models/ncsn1d.py:40),
+handling the layout change:
+
+- torch conv weight ``(O, I, *k)``  ->  flax channel-last ``(*k, I, O)``
+- torch ``Sequential`` / ``ModuleList`` indices -> this package's explicit
+  Flax submodule names (models/ncsnv2.py, models/layers.py)
+- InstanceNorm++ ``alpha/gamma/beta`` carry over unchanged
+  (normalization.py:150-177 <-> models/normalization.py InstanceNormPlus)
+
+The conversion is *template driven*: the caller provides a freshly
+initialized Flax param tree, and every leaf is filled from the torch state
+dict (missing or shape-mismatched keys raise). This guarantees an imported
+checkpoint is complete — no silently un-initialized parameters.
+
+No reference code is imported or copied; the key grammar below is derived
+from the reference's module attribute structure.
+"""
+from __future__ import annotations
+
+import re
+from typing import Any, Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+
+# ---------------------------------------------------------------------------
+# state-dict plumbing
+# ---------------------------------------------------------------------------
+
+def collate_state_dict(state_dict: Dict[str, Any],
+                       prefix: str = "model.") -> Dict[str, Any]:
+    """Strip a submodule prefix from every key (reference:
+    helpers/utils.py:161-170 strips the Lightning ``model.`` wrapper)."""
+    out = {}
+    for k, v in state_dict.items():
+        out[k[len(prefix):] if k.startswith(prefix) else k] = v
+    return out
+
+
+def extract_ema_state_dict(ckpt: Dict[str, Any]) -> Dict[str, Any]:
+    """Pull the EMA weights out of a Lightning checkpoint dict, falling
+    back to the raw ``state_dict`` (reference: helpers/load_model.py:179-186
+    prefers ``ckpt["callbacks"]["EMA"]["ema_state_dict"]``)."""
+    cb = ckpt.get("callbacks", {})
+    if isinstance(cb, dict):
+        ema = cb.get("EMA", {})
+        if isinstance(ema, dict) and "ema_state_dict" in ema:
+            return collate_state_dict(ema["ema_state_dict"])
+    if "state_dict" in ckpt:
+        return collate_state_dict(ckpt["state_dict"])
+    # already a bare state dict
+    return collate_state_dict(ckpt)
+
+
+def load_torch_checkpoint(path: str, use_ema: bool = True
+                          ) -> Dict[str, np.ndarray]:
+    """``torch.load`` a reference checkpoint (PL ``.ckpt`` or a bare
+    ``state_dict`` ``.pth``) and return a flat {key: np.ndarray} dict.
+    torch is imported lazily — the framework itself never depends on it."""
+    import torch  # local import: only needed for actual migration
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    sd = extract_ema_state_dict(ckpt) if use_ema else collate_state_dict(
+        ckpt.get("state_dict", ckpt))
+    return {k: np.asarray(v.detach().cpu().numpy()
+                          if hasattr(v, "detach") else v)
+            for k, v in sd.items()}
+
+
+# ---------------------------------------------------------------------------
+# flax-path -> torch-key grammar (NCSNv2 family)
+# ---------------------------------------------------------------------------
+
+_RES_RE = re.compile(r"^res(\w+)_(\d+)$")       # res1_0 -> ("1", "0")
+_CONV_RE = re.compile(r"^Conv_(\d+)$")
+_CMP_RE = re.compile(r"^ConvMeanPool_(\d+)$")
+_ADAPT_RE = re.compile(r"^adapt_(\d+)$")
+
+_NORM_LEAVES = ("alpha", "gamma", "beta")
+
+
+def _rcu_conv_name(j: int, n_stages: int = 2) -> str:
+    """Flax auto-name Conv_{j} (blocks outer, stages inner) -> the
+    reference RCUBlock's ``{block}_{stage}_conv`` attribute
+    (ncsn/models/layers.py:112-124 setattr grammar)."""
+    return f"{j // n_stages + 1}_{j % n_stages + 1}_conv"
+
+
+def flax_to_torch_candidates(path: Sequence[str]) -> List[str]:
+    """Torch state-dict key candidates for one flax param path.
+
+    Returns candidates in priority order: where the reference nests a conv
+    inside ``Sequential(ZeroPad2d, conv)`` (adjust_padding=True,
+    layers.py:304-307) the same logical weight lives at ``....conv.1.weight``
+    instead of ``....conv.weight``; both are emitted and the first present
+    in the state dict wins.
+    """
+    parts = list(path)
+    leaf = parts[-1]
+    leaf_t = {"kernel": "weight", "bias": "bias"}.get(leaf, leaf)
+
+    def finish(prefix_parts: List[str]) -> List[str]:
+        return [".".join(prefix_parts + [leaf_t])]
+
+    head = parts[0]
+
+    # top level: begin_conv / end_conv / normalizer
+    if head in ("begin_conv", "end_conv", "normalizer"):
+        return finish([head])
+
+    m = _RES_RE.match(head)
+    if m:
+        stage, idx = m.groups()
+        base = [f"res{stage}", idx]
+        inner = parts[1]
+        if inner == "norm1":
+            return finish(base + ["normalize1"])
+        if inner == "norm2":
+            return finish(base + ["normalize2"])
+        mc = _CONV_RE.match(inner)
+        if mc:
+            # Conv_0 = conv1; Conv_1 = conv2 (dilated / plain);
+            # Conv_2 = shortcut (dilated conv3x3 or conv1x1)
+            name = {0: "conv1", 1: "conv2", 2: "shortcut"}[int(mc.group(1))]
+            return finish(base + [name])
+        mp = _CMP_RE.match(inner)
+        if mp:
+            # ConvMeanPool_0 = conv2, ConvMeanPool_1 = shortcut (the
+            # non-dilated 'down' branch, layers.py:417-421); the inner
+            # flax Conv_0 maps onto .conv(.1 with adjust_padding)
+            name = {0: "conv2", 1: "shortcut"}[int(mp.group(1))]
+            stem = base + [name, "conv"]
+            return ([".".join(stem + [leaf_t])] +
+                    [".".join(stem + ["1", leaf_t])])
+        raise KeyError(f"unrecognized residual sub-path: {path}")
+
+    if head.startswith("refine"):
+        base = [head]
+        inner = parts[1]
+        ma = _ADAPT_RE.match(inner)
+        if ma:
+            j = int(_CONV_RE.match(parts[2]).group(1))
+            return finish(base + ["adapt_convs", ma.group(1),
+                                  _rcu_conv_name(j)])
+        if inner == "output":
+            j = int(_CONV_RE.match(parts[2]).group(1))
+            return finish(base + ["output_convs", _rcu_conv_name(j)])
+        if inner == "msf":
+            i = _CONV_RE.match(parts[2]).group(1)
+            return finish(base + ["msf", "convs", i])
+        if inner == "crp":
+            i = _CONV_RE.match(parts[2]).group(1)
+            return finish(base + ["crp", "convs", i])
+        raise KeyError(f"unrecognized refine sub-path: {path}")
+
+    raise KeyError(f"unrecognized flax param path: {path}")
+
+
+def torch_to_flax_array(arr: np.ndarray, flax_shape: Tuple[int, ...],
+                        leaf: str) -> np.ndarray:
+    """Transpose a torch tensor into the flax layout for this leaf.
+    Conv kernels go (O, I, *k) -> (*k, I, O); vectors pass through."""
+    arr = np.asarray(arr)
+    if leaf == "kernel":
+        nspatial = arr.ndim - 2
+        perm = tuple(range(2, 2 + nspatial)) + (1, 0)
+        arr = arr.transpose(perm)
+    if tuple(arr.shape) != tuple(flax_shape):
+        raise ValueError(f"shape mismatch after layout transpose: "
+                         f"torch->{arr.shape} vs flax {flax_shape}")
+    return arr
+
+
+def convert_ncsn_state_dict(torch_sd: Dict[str, np.ndarray],
+                            params_template: Any,
+                            strict_unused: bool = True) -> Any:
+    """Fill a Flax NCSNv2-family param template from a reference torch
+    state dict. Every template leaf must be found (raises otherwise); with
+    ``strict_unused`` any torch weight left unconsumed (other than the
+    ``sigmas`` buffer, which lives in the sampler here) also raises."""
+    import jax
+
+    flat = _flatten(params_template)
+    used = set()
+    out = {}
+    missing = []
+    for path, leaf_val in flat.items():
+        cands = flax_to_torch_candidates(path)
+        key = next((c for c in cands if c in torch_sd), None)
+        if key is None:
+            missing.append((path, cands))
+            continue
+        out[path] = torch_to_flax_array(torch_sd[key],
+                                        np.shape(leaf_val), path[-1])
+        used.add(key)
+    if missing:
+        lines = "\n".join(f"  {'/'.join(p)} <- tried {c}"
+                          for p, c in missing[:10])
+        raise KeyError(f"{len(missing)} params missing from torch state "
+                       f"dict, e.g.:\n{lines}")
+    if strict_unused:
+        leftover = [k for k in torch_sd
+                    if k not in used and not k.endswith("sigmas")]
+        if leftover:
+            raise KeyError(f"{len(leftover)} torch weights unconsumed, "
+                           f"e.g. {leftover[:8]} — wrong architecture?")
+    tree = _unflatten(out)
+    import jax.numpy as jnp
+    return jax.tree_util.tree_map(lambda n: jnp.asarray(n, jnp.float32),
+                                  tree)
+
+
+def export_ncsn_state_dict(params: Any,
+                           adjust_padding: bool = False
+                           ) -> Dict[str, np.ndarray]:
+    """Inverse of :func:`convert_ncsn_state_dict`: emit a torch-layout
+    state dict from flax params (round-trip testing, and exporting weights
+    back to reference tooling). ``adjust_padding`` selects the
+    ``Sequential`` nesting for ConvMeanPool convs (28x28 nets)."""
+    flat = _flatten(params)
+    sd = {}
+    for path, leaf_val in flat.items():
+        cands = flax_to_torch_candidates(path)
+        key = cands[1] if (adjust_padding and len(cands) > 1) else cands[0]
+        arr = np.asarray(leaf_val)
+        if path[-1] == "kernel":
+            nspatial = arr.ndim - 2
+            perm = (nspatial + 1, nspatial) + tuple(range(nspatial))
+            arr = arr.transpose(perm)
+        sd[key] = arr
+    return sd
+
+
+# ---------------------------------------------------------------------------
+# small pytree helpers (no flax dependency at import time)
+# ---------------------------------------------------------------------------
+
+def _flatten(tree: Any, prefix: Tuple[str, ...] = ()
+             ) -> Dict[Tuple[str, ...], Any]:
+    if isinstance(tree, dict):
+        out = {}
+        for k, v in tree.items():
+            out.update(_flatten(v, prefix + (str(k),)))
+        return out
+    return {prefix: tree}
+
+
+def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Dict[str, Any]:
+    tree: Dict[str, Any] = {}
+    for path, v in flat.items():
+        node = tree
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = v
+    return tree

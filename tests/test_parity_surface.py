@@ -103,6 +103,11 @@ SURFACE = [
                                      "metric_vs_hyperparam",
                                      "grid_of_temporal_samples"]),
     (f"{PKG}.utils.dataset_stats", ["max_pairwise_distance"]),
+    (f"{PKG}.utils.torch_import", ["load_torch_checkpoint",
+                                   "convert_ncsn_state_dict",
+                                   "export_ncsn_state_dict",
+                                   "extract_ema_state_dict",
+                                   "collate_state_dict"]),
     (f"{PKG}.training.state", ["TrainState", "get_optimizer"]),
     (f"{PKG}.training.train", ["make_score_train_step", "make_clf_train_step",
                                "make_seg_train_step",
@@ -128,6 +133,7 @@ SCRIPTS = [
     "cine_inv_sampling_keep_center_prox_real_imag",
     "cine_SENSE_real_img_2d_time", "cine_SENSE_real_img_2d_time_MAP",
     "generate_train_ncsn", "generate_train_seg", "vol2slices", "pc_sampling",
+    "import_torch_checkpoint",
 ]
 
 

@@ -1,0 +1,189 @@
+"""Torch-checkpoint import: layout transposes validated against real torch
+layers, and full-model key coverage for the NCSNv2 family.
+
+The reference's trained priors live in PL checkpoints
+(helpers/pl_callbacks.py:110-121 EMA state, helpers/load_model.py:146-186
+reload); utils/torch_import.py converts them to Flax params. These tests
+pin (a) the conv weight layout change against torch.nn.Conv{1,2}d outputs,
+(b) that the flax->torch key grammar covers every parameter of
+NCSNv2/NCSNv2Deepest in both directions (no silent missing weights), and
+(c) the Lightning checkpoint unwrapping.
+"""
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from inverseproblemwithdiffusionmodel_tpu.config import Config
+from inverseproblemwithdiffusionmodel_tpu.models.layers import Conv
+from inverseproblemwithdiffusionmodel_tpu.models.ncsnv2 import (
+    NCSNv2, NCSNv2Deepest)
+from inverseproblemwithdiffusionmodel_tpu.utils.torch_import import (
+    collate_state_dict, convert_ncsn_state_dict, export_ncsn_state_dict,
+    extract_ema_state_dict, flax_to_torch_candidates, torch_to_flax_array)
+
+torch = pytest.importorskip("torch")
+
+
+def _cfg(ngf=8, channels=1, size=16):
+    return Config({"data": {"channels": channels, "image_size": size,
+                            "logit_transform": False, "rescaled": False},
+                   "model": {"ngf": ngf, "nonlinearity": "elu",
+                             "normalization": "InstanceNorm++"}})
+
+
+# ---------------------------------------------------------------------------
+# (a) layout parity against real torch convs
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("ndim,dilation", [(1, 1), (2, 1), (2, 3)])
+def test_conv_layout_matches_torch(ndim, dilation):
+    torch.manual_seed(0)
+    in_c, out_c, k = 3, 5, 3
+    tconv = (torch.nn.Conv1d if ndim == 1 else torch.nn.Conv2d)(
+        in_c, out_c, k, padding=k // 2 * dilation, dilation=dilation)
+    x_t = torch.randn(2, in_c, *([12] * ndim))
+    with torch.no_grad():
+        ref = tconv(x_t).numpy()
+
+    kernel = torch_to_flax_array(tconv.weight.detach().numpy(),
+                                 (k,) * ndim + (in_c, out_c), "kernel")
+    params = {"kernel": jnp.asarray(kernel),
+              "bias": jnp.asarray(tconv.bias.detach().numpy())}
+    mod = Conv(features=out_c, kernel_size=k, ndim=ndim, dilation=dilation)
+    # channel-last input
+    x_j = jnp.asarray(np.moveaxis(x_t.numpy(), 1, -1))
+    out = mod.apply({"params": params}, x_j)
+    out = np.moveaxis(np.asarray(out), -1, 1)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_transpose_shape_mismatch_raises():
+    with pytest.raises(ValueError):
+        torch_to_flax_array(np.zeros((4, 3, 3, 3)), (3, 3, 3, 5), "kernel")
+
+
+# ---------------------------------------------------------------------------
+# (b) full-model coverage: export -> import round trip, both architectures
+# ---------------------------------------------------------------------------
+
+@pytest.mark.parametrize("module_cls,size", [(NCSNv2, 16),
+                                             (NCSNv2Deepest, 64)])
+def test_roundtrip_full_model(module_cls, size):
+    cfg = _cfg(ngf=4, size=size)
+    module = module_cls(config=cfg)
+    x = jnp.zeros((1, size, size, 1))
+    params = module.init(jax.random.PRNGKey(0), x, jnp.ones((1,)))["params"]
+
+    sd = export_ncsn_state_dict(params)
+    # the torch side would also carry the sigmas buffer; converter skips it
+    sd["sigmas"] = np.zeros((10,), np.float32)
+    restored = convert_ncsn_state_dict(sd, params)
+
+    flat_a = jax.tree_util.tree_leaves(params)
+    flat_b = jax.tree_util.tree_leaves(restored)
+    assert len(flat_a) == len(flat_b)
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    # converted params run through the network
+    out = module.apply({"params": restored}, jnp.ones((1, size, size, 1)),
+                       jnp.ones((1,)))
+    assert out.shape == (1, size, size, 1)
+
+
+def test_roundtrip_1d():
+    from inverseproblemwithdiffusionmodel_tpu.models.ncsn1d import NCSN1D
+    cfg = _cfg(ngf=4, channels=16, size=24)
+    module = NCSN1D(cfg)
+    x = jnp.zeros((1, 24, 16))
+    params = module.init(jax.random.PRNGKey(0), x, jnp.ones((1,)))["params"]
+    sd = export_ncsn_state_dict(params)
+    restored = convert_ncsn_state_dict(sd, params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_missing_key_raises():
+    cfg = _cfg(ngf=4)
+    module = NCSNv2(config=cfg)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)),
+                         jnp.ones((1,)))["params"]
+    sd = export_ncsn_state_dict(params)
+    sd.pop("begin_conv.weight")
+    with pytest.raises(KeyError, match="missing"):
+        convert_ncsn_state_dict(sd, params)
+
+
+def test_unconsumed_key_raises():
+    cfg = _cfg(ngf=4)
+    module = NCSNv2(config=cfg)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 1)),
+                         jnp.ones((1,)))["params"]
+    sd = export_ncsn_state_dict(params)
+    sd["res9.0.conv1.weight"] = np.zeros((4, 4, 3, 3), np.float32)
+    with pytest.raises(KeyError, match="unconsumed"):
+        convert_ncsn_state_dict(sd, params)
+
+
+def test_adjust_padding_sequential_nesting():
+    """28x28 nets nest the ConvMeanPool conv in Sequential index 1
+    (reference layers.py:304-307) — both key spellings are accepted."""
+    cfg = _cfg(ngf=4, size=28)
+    module = NCSNv2(config=cfg)
+    params = module.init(jax.random.PRNGKey(0), jnp.zeros((1, 28, 28, 1)),
+                         jnp.ones((1,)))["params"]
+    sd = export_ncsn_state_dict(params, adjust_padding=True)
+    assert any(".conv.1.weight" in k for k in sd)
+    restored = convert_ncsn_state_dict(sd, params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# ---------------------------------------------------------------------------
+# (c) Lightning checkpoint unwrapping
+# ---------------------------------------------------------------------------
+
+def test_extract_ema_and_collate():
+    sd = {"model.begin_conv.weight": 1, "model.begin_conv.bias": 2}
+    ckpt = {"state_dict": sd,
+            "callbacks": {"EMA": {"ema_state_dict":
+                                  {"model.begin_conv.weight": 10,
+                                   "model.begin_conv.bias": 20}}}}
+    ema = extract_ema_state_dict(ckpt)
+    assert ema == {"begin_conv.weight": 10, "begin_conv.bias": 20}
+    raw = collate_state_dict(sd)
+    assert raw == {"begin_conv.weight": 1, "begin_conv.bias": 2}
+    # no EMA callback -> falls back to state_dict
+    assert extract_ema_state_dict({"state_dict": sd}) == raw
+
+
+def test_grammar_examples():
+    """Spot-pin the key grammar against the reference's attribute tree
+    (ncsn/models/ncsnv2.py:24-70, layers.py:112-124,214-232)."""
+    assert flax_to_torch_candidates(("begin_conv", "kernel")) == \
+        ["begin_conv.weight"]
+    assert flax_to_torch_candidates(("res2_0", "Conv_0", "kernel")) == \
+        ["res2.0.conv1.weight"]
+    assert flax_to_torch_candidates(
+        ("res2_0", "ConvMeanPool_0", "Conv_0", "kernel")) == \
+        ["res2.0.conv2.conv.weight", "res2.0.conv2.conv.1.weight"]
+    assert flax_to_torch_candidates(
+        ("res2_0", "ConvMeanPool_1", "Conv_0", "kernel")) == \
+        ["res2.0.shortcut.conv.weight", "res2.0.shortcut.conv.1.weight"]
+    assert flax_to_torch_candidates(("res3_1", "norm2", "alpha")) == \
+        ["res3.1.normalize2.alpha"]
+    assert flax_to_torch_candidates(
+        ("refine1", "adapt_0", "Conv_3", "kernel")) == \
+        ["refine1.adapt_convs.0.2_2_conv.weight"]
+    assert flax_to_torch_candidates(
+        ("refine4", "output", "Conv_0", "kernel")) == \
+        ["refine4.output_convs.1_1_conv.weight"]
+    assert flax_to_torch_candidates(("refine2", "msf", "Conv_1", "bias")) == \
+        ["refine2.msf.convs.1.bias"]
+    assert flax_to_torch_candidates(("refine2", "crp", "Conv_0", "kernel")) == \
+        ["refine2.crp.convs.0.weight"]
+    assert flax_to_torch_candidates(("normalizer", "gamma")) == \
+        ["normalizer.gamma"]
