@@ -30,7 +30,7 @@ def main(argv=None):
                    help="reference PL .ckpt or bare state-dict .pth")
     p.add_argument("--ds_name", required=True)
     p.add_argument("--task_name", default="Diffusion",
-                   choices=["Diffusion", "Diffusion1D"])
+                   choices=["Diffusion", "Diffusion1D", "Diffusion3D"])
     p.add_argument("--mode", default="real-imag")
     p.add_argument("--out_dir", required=True,
                    help="orbax checkpoint dir to write")

@@ -112,8 +112,10 @@ def flax_to_torch_candidates(path: Sequence[str]) -> List[str]:
 
     head = parts[0]
 
-    # top level: begin_conv / end_conv / normalizer
-    if head in ("begin_conv", "end_conv", "normalizer"):
+    # top level: begin_conv / end_conv / normalizer, plus NCSN3DShallow's
+    # asymmetric temporal convs (ncsn/models/ncsn3d.py:176-177)
+    if head in ("begin_conv", "end_conv", "normalizer",
+                "conv_temporal_down", "conv_temporal_up"):
         return finish([head])
 
     m = _RES_RE.match(head)
@@ -165,13 +167,18 @@ def flax_to_torch_candidates(path: Sequence[str]) -> List[str]:
 
 
 def torch_to_flax_array(arr: np.ndarray, flax_shape: Tuple[int, ...],
-                        leaf: str) -> np.ndarray:
+                        leaf: str, transposed_conv: bool = False
+                        ) -> np.ndarray:
     """Transpose a torch tensor into the flax layout for this leaf.
-    Conv kernels go (O, I, *k) -> (*k, I, O); vectors pass through."""
+    Conv kernels go (O, I, *k) -> (*k, I, O); ConvTranspose kernels are
+    stored (I, O, *k) by torch and go -> (*k, I, O); vectors pass through."""
     arr = np.asarray(arr)
     if leaf == "kernel":
         nspatial = arr.ndim - 2
-        perm = tuple(range(2, 2 + nspatial)) + (1, 0)
+        if transposed_conv:
+            perm = tuple(range(2, 2 + nspatial)) + (0, 1)
+        else:
+            perm = tuple(range(2, 2 + nspatial)) + (1, 0)
         arr = arr.transpose(perm)
     if tuple(arr.shape) != tuple(flax_shape):
         raise ValueError(f"shape mismatch after layout transpose: "
@@ -198,8 +205,9 @@ def convert_ncsn_state_dict(torch_sd: Dict[str, np.ndarray],
         if key is None:
             missing.append((path, cands))
             continue
-        out[path] = torch_to_flax_array(torch_sd[key],
-                                        np.shape(leaf_val), path[-1])
+        out[path] = torch_to_flax_array(
+            torch_sd[key], np.shape(leaf_val), path[-1],
+            transposed_conv=(path[0] == "conv_temporal_up"))
         used.add(key)
     if missing:
         lines = "\n".join(f"  {'/'.join(p)} <- tried {c}"
@@ -233,7 +241,10 @@ def export_ncsn_state_dict(params: Any,
         arr = np.asarray(leaf_val)
         if path[-1] == "kernel":
             nspatial = arr.ndim - 2
-            perm = (nspatial + 1, nspatial) + tuple(range(nspatial))
+            if path[0] == "conv_temporal_up":   # torch stores (I, O, *k)
+                perm = (nspatial, nspatial + 1) + tuple(range(nspatial))
+            else:
+                perm = (nspatial + 1, nspatial) + tuple(range(nspatial))
             arr = arr.transpose(perm)
         sd[key] = arr
     return sd

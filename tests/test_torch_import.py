@@ -92,6 +92,50 @@ def test_roundtrip_full_model(module_cls, size):
     assert out.shape == (1, size, size, 1)
 
 
+def test_convtranspose_layout_matches_torch():
+    """NCSN3DShallow's temporal upsample is a ConvTranspose3d with torch
+    (I, O, *k) weight layout (ncsn/models/ncsn3d.py:177)."""
+    from inverseproblemwithdiffusionmodel_tpu.models.layers import (
+        ConvTranspose)
+    torch.manual_seed(1)
+    tconv = torch.nn.ConvTranspose3d(4, 3, kernel_size=(1, 1, 4),
+                                     stride=(1, 1, 2), padding=(0, 0, 1))
+    x_t = torch.randn(2, 4, 5, 5, 8)
+    with torch.no_grad():
+        ref = tconv(x_t).numpy()
+
+    w = tconv.weight.detach().numpy().transpose(2, 3, 4, 0, 1)
+    params = {"kernel": jnp.asarray(w),
+              "bias": jnp.asarray(tconv.bias.detach().numpy())}
+    mod = ConvTranspose(features=3, kernel_size=(1, 1, 4), stride=(1, 1, 2),
+                        padding=(0, 0, 1), ndim=3)
+    x_j = jnp.asarray(np.moveaxis(x_t.numpy(), 1, -1))
+    out = np.moveaxis(np.asarray(mod.apply({"params": params}, x_j)), -1, 1)
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+
+def test_roundtrip_3d_shallow():
+    from inverseproblemwithdiffusionmodel_tpu.models.ncsn3d import (
+        NCSN3DShallow)
+    cfg = Config({"data": {"channels": 16, "channels_3d": 1, "image_size": 8,
+                           "logit_transform": False, "rescaled": False},
+                  "model": {"ngf": 4, "nonlinearity": "elu",
+                            "normalization": "InstanceNorm++"}})
+    module = NCSN3DShallow(cfg)
+    x = jnp.zeros((1, 4, 4, 8, 1))
+    params = module.init(jax.random.PRNGKey(0), x, jnp.ones((1,)))["params"]
+    sd = export_ncsn_state_dict(params)
+    assert "conv_temporal_down.weight" in sd
+    assert sd["conv_temporal_up.weight"].shape[:2] == (8, 4)  # (I, O, *k)
+    restored = convert_ncsn_state_dict(sd, params)
+    for a, b in zip(jax.tree_util.tree_leaves(params),
+                    jax.tree_util.tree_leaves(restored)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    out = module.apply({"params": restored}, jnp.ones((1, 4, 4, 8, 1)),
+                       jnp.ones((1,)))
+    assert out.shape == (1, 4, 4, 8, 1)
+
+
 def test_roundtrip_1d():
     from inverseproblemwithdiffusionmodel_tpu.models.ncsn1d import NCSN1D
     cfg = _cfg(ngf=4, channels=16, size=24)
