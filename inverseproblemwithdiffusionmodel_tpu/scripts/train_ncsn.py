@@ -21,7 +21,8 @@ from ..models.registry import load_model
 from ..parallel import make_mesh
 from ..samplers.sigmas import get_sigmas
 from ..training import (TrainState, get_optimizer, make_score_train_step,
-                        make_score_eval_step, FitConfig, fit, batch_iterator)
+                        make_score_eval_step, FitConfig, fit, batch_iterator,
+                        make_train_iterator)
 
 
 def main(argv=None):
@@ -53,6 +54,8 @@ def main(argv=None):
                         "no-op for non-1D batches)")
     p.add_argument("--override", action="append", default=[],
                    metavar="KEY=VALUE")
+    p.add_argument("--no_native_loader", action="store_true",
+                   help="disable the C++ prefetch batcher train feed")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
@@ -107,7 +110,8 @@ def main(argv=None):
     cfg = FitConfig(n_epochs=n_epochs, max_steps=max_steps,
                     log_dir=log_dir, seed=args.seed)
     state = fit(state, step,
-                batch_iterator(train_data, batch_size, seed=args.seed),
+                make_train_iterator(train_data, batch_size, seed=args.seed,
+                                    prefer_native=not args.no_native_loader),
                 cfg, eval_step=eval_step,
                 val_iter_fn=batch_iterator(val_data, batch_size,
                                            shuffle=False, seed=0))

@@ -6,7 +6,8 @@ from .train import (make_score_train_step, make_clf_train_step,
                     make_seg_train_step, make_score_eval_step,
                     make_continuous_score_train_step)
 from .checkpoint import Checkpointer
-from .loop import FitConfig, MetricsLogger, fit, batch_iterator
+from .loop import (FitConfig, MetricsLogger, fit, batch_iterator,
+                   make_train_iterator)
 from .callbacks import (make_ald_visualization_hook,
                         make_pc_visualization_hook, make_snapshot_hook)
 
@@ -15,6 +16,7 @@ __all__ = [
     "make_clf_train_step", "make_seg_train_step", "make_score_eval_step",
     "make_continuous_score_train_step",
     "Checkpointer", "FitConfig", "MetricsLogger", "fit", "batch_iterator",
+    "make_train_iterator",
     "make_ald_visualization_hook", "make_pc_visualization_hook",
     "make_snapshot_hook",
 ]

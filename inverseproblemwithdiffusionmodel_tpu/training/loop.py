@@ -122,6 +122,28 @@ def fit(
     return state
 
 
+def make_train_iterator(data: np.ndarray, batch_size: int, *,
+                        shuffle: bool = True, seed: int = 0,
+                        drop_last: bool = True, prefer_native: bool = True):
+    """Training feed factory: the C++ prefetch batcher
+    (native/batcher.cpp via data/native_loader.py — the reference's
+    DataLoader num_workers analog, helpers/pl_helpers.py:115) when it
+    builds on this host, else the numpy iterator. Unlabeled float arrays
+    only; labeled feeds use `batch_iterator(labels=...)`."""
+    if prefer_native:
+        try:
+            from ..data.native_loader import (native_available,
+                                              native_batch_iterator)
+            if native_available():
+                return native_batch_iterator(
+                    np.asarray(data), batch_size, shuffle=shuffle,
+                    seed=seed, drop_last=drop_last)
+        except Exception:
+            pass  # fall through to the numpy path
+    return batch_iterator(data, batch_size, shuffle=shuffle, seed=seed,
+                          drop_last=drop_last)
+
+
 def batch_iterator(data: np.ndarray, batch_size: int, *, labels=None,
                    shuffle: bool = True, seed: int = 0, drop_last: bool = True):
     """Simple host-side epoch iterator factory over in-memory arrays."""

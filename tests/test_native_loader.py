@@ -58,3 +58,21 @@ def test_factory_epoch_api():
     assert sum(1 for _ in mk()) == 3
     assert sum(1 for _ in mk()) == 3  # second epoch works
     mk.iterator.close()
+
+
+def test_make_train_iterator_prefers_native():
+    from inverseproblemwithdiffusionmodel_tpu.training import (
+        make_train_iterator)
+    data = np.random.RandomState(0).rand(20, 3, 3).astype(np.float32)
+    make = make_train_iterator(data, 4, seed=5)
+    batches = list(make())
+    assert len(batches) == 5
+    assert all(b.shape == (4, 3, 3) for b in batches)
+    # full epoch coverage under shuffle
+    seen = np.concatenate([b.reshape(4, -1) for b in batches])
+    assert seen.shape[0] == 20
+    if native_available():
+        assert hasattr(make, "iterator"), "native path not taken"
+    # numpy fallback parity
+    make_np = make_train_iterator(data, 4, seed=5, prefer_native=False)
+    assert len(list(make_np())) == 5
