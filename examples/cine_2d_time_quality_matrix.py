@@ -160,9 +160,11 @@ def main(argv=None):
     p.add_argument("--step_lr", type=float, default=6.2e-6)
     p.add_argument("--lr_scaled", type=float, default=30000.0)
     p.add_argument("--ald_lamdas", type=float, nargs="+",
-                   default=[0.3, 1.0, 3.0],
+                   default=[1.0, 3.0, 10.0],
                    help="temporal-step-size multipliers for the full ALD "
-                        "variant; tuned on video 0")
+                        "variant; tuned on video 0 (measured optimum on the "
+                        "synthetic phantom is 3-10; >30 degrades — see "
+                        "docs/RESULTS_CINE_2DTIME.md)")
     p.add_argument("--ald_tv_lamdas", type=float, nargs="+",
                    default=[0.003, 0.01, 0.03],
                    help="TV-subgradient step sizes for the ALD tv-temporal "
