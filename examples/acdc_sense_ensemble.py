@@ -86,6 +86,11 @@ def main(argv=None):
     p.add_argument("--n_steps_each", type=int, default=5)
     p.add_argument("--step_lr", type=float, default=6.2e-6)
     p.add_argument("--lr_scaled", type=float, default=30000.0)
+    p.add_argument("--ald_lr_scaled_grid", type=float, nargs="+",
+                   default=[3000.0, 10000.0, 30000.0, 100000.0],
+                   help="data-consistency weights tried on the val slice "
+                        "(one chain chunk each); pass a single value to "
+                        "skip tuning")
     p.add_argument("--chains", type=int, default=105,
                    help="ALD ensemble size (README.md:12: 'mean of 105')")
     p.add_argument("--chain_chunk", type=int, default=35,
@@ -111,6 +116,7 @@ def main(argv=None):
         args.chains, args.chain_chunk = 4, 2
         args.map_iters = 30
         args.map_lamdas, args.tv_regs = [0.3], [0.03]
+        args.ald_lr_scaled_grid = [args.lr_scaled]
     os.makedirs(args.out, exist_ok=True)
     S = args.size
 
@@ -201,9 +207,32 @@ def main(argv=None):
     cfg = ALDConfig(n_steps_each=args.n_steps_each, step_lr=args.step_lr)
     B = args.chain_chunk
     opB = make_op(B)
-    recon = make_stepped_pair_reconstructor(
-        fwd, sigmas, opB, PairL2Penalty(lin_tfm=opB, num_iters=6), cfg,
-        lr_scaled=args.lr_scaled)
+
+    def make_recon(lr_scaled):
+        return make_stepped_pair_reconstructor(
+            fwd, sigmas, opB, PairL2Penalty(lin_tfm=opB, num_iters=6), cfg,
+            lr_scaled=lr_scaled)
+
+    # data-consistency weight tuned on the val slice with one chain chunk
+    # (MAP/TV below get val tuning; tuned-best runs are what the reference
+    # table reports)
+    if len(args.ald_lr_scaled_grid) > 1:
+        v = results["val"]
+        yrV = jnp.tile(v["yr"], (1, B, 1, 1, 1))
+        yiV = jnp.tile(v["yi"], (1, B, 1, 1, 1))
+        best = None
+        for lrs in args.ald_lr_scaled_grid:
+            xrv, xiv = make_recon(lrs)(
+                params, yrV, yiV, jax.random.PRNGKey(args.seed + 50))
+            n, s = eval_mag(jnp.sqrt(xrv ** 2 + xiv ** 2).mean(axis=0),
+                            "val")
+            log(f"val ALD lr_scaled={lrs:g}: NRMSE {n:.4f} SSIM {s:.4f}")
+            if best is None or n < best[0]:
+                best = (n, lrs)
+        args.lr_scaled = best[1]
+        log(f"ALD lr_scaled tuned to {args.lr_scaled:g}")
+
+    recon = make_recon(args.lr_scaled)
     n_chunks = (args.chains + B - 1) // B
     yrB = jnp.tile(r["yr"], (1, B, 1, 1, 1))
     yiB = jnp.tile(r["yi"], (1, B, 1, 1, 1))
