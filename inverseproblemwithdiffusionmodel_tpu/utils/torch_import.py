@@ -26,7 +26,7 @@ from the reference's module attribute structure.
 from __future__ import annotations
 
 import re
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Sequence, Tuple
 
 import numpy as np
 
@@ -83,9 +83,6 @@ _RES_RE = re.compile(r"^res(\w+)_(\d+)$")       # res1_0 -> ("1", "0")
 _CONV_RE = re.compile(r"^Conv_(\d+)$")
 _CMP_RE = re.compile(r"^ConvMeanPool_(\d+)$")
 _ADAPT_RE = re.compile(r"^adapt_(\d+)$")
-
-_NORM_LEAVES = ("alpha", "gamma", "beta")
-
 
 def _rcu_conv_name(j: int, n_stages: int = 2) -> str:
     """Flax auto-name Conv_{j} (blocks outer, stages inner) -> the
