@@ -33,6 +33,7 @@ def ald_inverse_proximal_pair(
     seg_label: Optional[jnp.ndarray] = None,
     seg_lamda: float = 1.0,
     seg_start_time: float = 1.0,
+    seg_mode: str = "full",
     snapshot_fn: Optional[Callable] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """measurement: (yr, yi). Returns the reconstruction pair (xr, xi).
@@ -60,7 +61,8 @@ def ald_inverse_proximal_pair(
             grads = score_fn(stacked, _labels(stacked, c))
             if use_seg:
                 from .ald import compute_seg_grad
-                g_seg = compute_seg_grad(seg_fn, stacked, seg_label2)
+                g_seg = compute_seg_grad(seg_fn, stacked, seg_label2,
+                                         seg_mode)
                 grads = grads + g_seg / sigma * (lh_w * seg_lamda)
             g_re, g_im = unstack_parts(grads)
             x_re = _langevin_update(x_re, g_re, step_size, k_re)
@@ -227,21 +229,32 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
                                     proximal,
                                     config: ALDConfig = ALDConfig(),
                                     lr_scaled: float = 1.0,
+                                    seg_fn: Optional[Callable] = None,
+                                    seg_label: Optional[jnp.ndarray] = None,
+                                    seg_lamda: float = 1.0,
+                                    seg_start_time: float = 1.0,
+                                    seg_mode: str = "full",
                                     snapshot_fn: Optional[Callable] = None):
     """Host-scheduled variant: one jitted sigma-LEVEL step (compiles like a
     single forward) looped over levels on the host with async dispatch.
 
-    Numerically identical to `ald_inverse_proximal_pair`; use it where a
-    whole-chain `lax.scan` program is impractical to compile (e.g. the axon
-    remote-compile service rejects large programs). Returns
+    Numerically identical to `ald_inverse_proximal_pair` (including the
+    segmentation-guidance ramp when `seg_fn`/`seg_label` are given); use it
+    where a whole-chain `lax.scan` program is impractical to compile (e.g.
+    the axon remote-compile service rejects large programs). Returns
     `recon(params, yr, yi, key) -> (xr, xi)`.
     """
     sigmas = jnp.asarray(sigmas)
     sigma_last = sigmas[-1]
     L = int(sigmas.shape[0])
+    lh_weights = get_lh_weights(sigmas, seg_start_time, "linear")
+    use_seg = seg_fn is not None
+    if use_seg:
+        from .ald import compute_seg_grad
+        seg_label2 = stack_parts(seg_label, seg_label)
 
     @jax.jit
-    def level_step(params, xr, xi, yr, yi, c, sigma, key):
+    def level_step(params, xr, xi, yr, yi, c, sigma, lh_w, key):
         def score_fn(x, labels):
             return module.apply({"params": params}, x, sigmas[labels])
         step_size = config.step_lr * (sigma / sigma_last) ** 2
@@ -251,6 +264,10 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
             key, k_re, k_im = jax.random.split(key, 3)
             stacked = stack_parts(xr, xi)
             grads = score_fn(stacked, _labels(stacked, c))
+            if use_seg:
+                g_seg = compute_seg_grad(seg_fn, stacked, seg_label2,
+                                         seg_mode)
+                grads = grads + g_seg / sigma * (lh_w * seg_lamda)
             g_re, g_im = unstack_parts(grads)
             xr = _langevin_update(xr, g_re, step_size, k_re)
             xi = _langevin_update(xi, g_im, step_size, k_im)
@@ -274,7 +291,8 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
         xr, xi = lin_tfm.conj_op(yr, yi)
         for c in range(L):
             xr, xi, key = level_step(params, xr, xi, yr, yi,
-                                     jnp.int32(c), sigmas[c], key)
+                                     jnp.int32(c), sigmas[c],
+                                     lh_weights[c], key)
             # host-stepped loop: call the diagnostics hook directly
             if (snapshot_fn is not None and config.snapshot_every > 0
                     and c % config.snapshot_every == 0):

@@ -339,3 +339,53 @@ def test_stepped_2d_time_matches_scanned(sense_pair):
                                    atol=1e-5, err_msg=mode_T)
         np.testing.assert_allclose(np.asarray(xi), np.asarray(ref_i),
                                    atol=1e-5, err_msg=mode_T)
+
+
+def test_stepped_pair_with_seg_matches_scanned(sense_pair):
+    """Host-stepped reconstructor with seg guidance == scanned pair form
+    (same keys, same linear lh ramp)."""
+    from flax import linen as nn
+    from inverseproblemwithdiffusionmodel_tpu.samplers.ald_pair import (
+        make_stepped_pair_reconstructor)
+    sense, pair = sense_pair
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    mag = jnp.exp(-(((yy - 8) ** 2 + (xx - 6) ** 2) / 20.0))[None, :, :, None]
+    yr, yi = pair(mag, jnp.zeros_like(mag))
+    sigmas = sigma_ladder(1.0, 0.01, 12)
+
+    class TinyNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, cond):
+            sig = cond.reshape((-1,) + (1,) * (x.ndim - 1))
+            w = self.param("w", nn.initializers.ones, ())
+            return -w * x / (sig ** 2 + 10.0)
+
+    mod = TinyNet()
+    ps = mod.init(jax.random.PRNGKey(0),
+                  jnp.zeros((2, H, W, 1)), jnp.ones((2,)))["params"]
+
+    def score_fn(x, labels):
+        return mod.apply({"params": ps}, x, sigmas[labels])
+
+    # 2-class "segmentation": logits favoring class 1 where x > 0.3
+    def seg_fn(x):
+        l1 = 8.0 * (x[..., 0] - 0.3)
+        return jnp.stack([-l1, l1], axis=-1)
+
+    seg_label = (mag[..., 0] > 0.3).astype(jnp.int32)
+    prox = PairL2Penalty(lin_tfm=pair, num_iters=3)
+    cfg = ALDConfig(n_steps_each=2, step_lr=3e-5)
+    for seg_mode in ("full", "FG"):
+        ref_r, ref_i = ald_inverse_proximal_pair(
+            score_fn, sigmas, (yr, yi), pair, prox, jax.random.PRNGKey(0),
+            cfg, lr_scaled=50.0, seg_fn=seg_fn, seg_label=seg_label,
+            seg_lamda=0.5, seg_start_time=0.5, seg_mode=seg_mode)
+        recon = make_stepped_pair_reconstructor(
+            mod, sigmas, pair, prox, cfg, lr_scaled=50.0, seg_fn=seg_fn,
+            seg_label=seg_label, seg_lamda=0.5, seg_start_time=0.5,
+            seg_mode=seg_mode)
+        xr, xi = recon(ps, yr, yi, jax.random.PRNGKey(0))
+        np.testing.assert_allclose(np.asarray(xr), np.asarray(ref_r),
+                                   atol=1e-5, err_msg=seg_mode)
+        np.testing.assert_allclose(np.asarray(xi), np.asarray(ref_i),
+                                   atol=1e-5, err_msg=seg_mode)
