@@ -13,8 +13,10 @@ with the pair-form ALD sampler:
   slice, linear lh ramp from --seg_start_time)
 
 All ALD runs share the data-consistency weight (tuned on val with guidance
-off) so the guidance effect is isolated. Reports NRMSE/SSIM on a held-out
-test slice plus the Dice overlap between seg(recon) and the true mask.
+off) so the guidance effect is isolated. Reports NRMSE/SSIM averaged over
+`--n_test` held-out test slices (paired PRNG keys per slice) plus the Dice
+overlap between seg(recon) and the true mask; the full val tuning curves
+land in results.json.
 
   python examples/acdc_seg_guidance.py [--quick] [--out runs/acdc_seg]
 """
@@ -133,6 +135,8 @@ def main(argv=None):
     p.add_argument("--seg_lamda_grid", type=float, nargs="+",
                    default=[3.0, 10.0, 30.0, 100.0])
     p.add_argument("--seg_start_time", type=float, default=0.0)
+    p.add_argument("--n_test", type=int, default=3,
+                   help="held-out test slices (metrics averaged)")
     p.add_argument("--chains", type=int, default=35,
                    help="ALD ensemble size per condition")
     p.add_argument("--R", type=int, default=8)
@@ -146,6 +150,7 @@ def main(argv=None):
         args.size, args.ngf, args.n_train = 32, 16, 32
         args.steps, args.seg_steps, args.levels = 60, 40, 16
         args.chains = 4
+        args.n_test = 1
         args.lr_scaled_grid = [3e4]
         args.seg_lamda_grid = [10.0]
     os.makedirs(args.out, exist_ok=True)
@@ -210,7 +215,9 @@ def main(argv=None):
         return jnp.argmax(seg_fn(x), axis=-1)
 
     # sanity: seg quality on clean held-out slices
-    test_imgs, test_masks = make_dataset(2, S, args.seed + 777)
+    # slices [0 .. n_test-1] = test (reported, averaged); [n_test] = val
+    n_held = args.n_test + 1
+    test_imgs, test_masks = make_dataset(n_held, S, args.seed + 777)
     clean_dice = dice(np.asarray(seg_predict(jnp.asarray(test_imgs))),
                       test_masks)
     log(f"seg net Dice on clean held-out slices: {clean_dice:.4f}")
@@ -226,30 +233,36 @@ def main(argv=None):
     from inverseproblemwithdiffusionmodel_tpu.ops.resize import (
         resize_align_corners)
     patch = jax.random.normal(jax.random.PRNGKey(args.seed + 3),
-                              (2, 5, 5, 1))
+                              (n_held, 5, 5, 1))
     phase = resize_align_corners(patch, (S, S), axes=(1, 2))
-    results = {}
-    for role, idx in (("test", 0), ("val", 1)):
+    slices = []                      # [0..n_test-1]=test, [n_test]=val
+    for idx in range(n_held):
         truth = jnp.asarray(test_imgs[idx:idx + 1])
         xr_t = truth * jnp.cos(phase[idx:idx + 1])
         xi_t = truth * jnp.sin(phase[idx:idx + 1])
         yr, yi = pair_op(xr_t, xi_t)
-        results[role] = dict(truth=truth, yr=yr, yi=yi,
-                             label=jnp.asarray(test_masks[idx:idx + 1]))
+        slices.append(dict(truth=truth, yr=yr, yi=yi,
+                           label=jnp.asarray(test_masks[idx:idx + 1])))
+    val_idx = args.n_test
 
-    def eval_mag(mag, role):
-        t = results[role]["truth"][0]
+    def eval_mag(mag, idx):
+        t = slices[idx]["truth"][0]
         d = dice(np.asarray(seg_predict(mag[None])[0]),
-                 np.asarray(results[role]["label"][0]))
+                 np.asarray(slices[idx]["label"][0]))
         return (float(nrmse(mag, t)), float(ssim(mag[..., 0], t[..., 0])), d)
 
     out_rows, mags = {}, {}
-    r = results["test"]
-    zr, zi = pair_op.conj_op(r["yr"], r["yi"])
-    zf_mag = jnp.sqrt(zr ** 2 + zi ** 2)[0]
-    out_rows["ZF"] = eval_mag(zf_mag, "test")
-    mags["ZF"], mags["original"] = np.asarray(zf_mag), test_imgs[0]
-    log(f"ZF: NRMSE {out_rows['ZF'][0]:.4f} SSIM {out_rows['ZF'][1]:.4f} "
+    zf_rows = []
+    for idx in range(args.n_test):
+        r = slices[idx]
+        zr, zi = pair_op.conj_op(r["yr"], r["yi"])
+        zf_mag = jnp.sqrt(zr ** 2 + zi ** 2)[0]
+        zf_rows.append(eval_mag(zf_mag, idx))
+        if idx == 0:
+            mags["ZF"], mags["original"] = np.asarray(zf_mag), test_imgs[0]
+    out_rows["ZF"] = tuple(np.mean(zf_rows, axis=0))
+    log(f"ZF (mean of {args.n_test} test slices): "
+        f"NRMSE {out_rows['ZF'][0]:.4f} SSIM {out_rows['ZF'][1]:.4f} "
         f"Dice {out_rows['ZF'][2]:.4f}")
 
     # ---- ALD conditions -------------------------------------------------
@@ -257,30 +270,35 @@ def main(argv=None):
     B = args.chains
     prox = PairL2Penalty(lin_tfm=pair_op, num_iters=6)
 
-    def run(role, lr_scaled, seg_lamda=None, key_off=0):
+    def run(idx, lr_scaled, seg_lamda=None, key_off=0):
         """One chain-chunk ensemble; returns (mean_mag, (nrmse, ssim, dice))."""
         kw = {}
         if seg_lamda is not None:
             kw = dict(seg_fn=seg_fn,
-                      seg_label=jnp.tile(results[role]["label"], (B, 1, 1)),
+                      seg_label=jnp.tile(slices[idx]["label"], (B, 1, 1)),
                       seg_lamda=seg_lamda,
                       seg_start_time=args.seg_start_time)
         recon = make_stepped_pair_reconstructor(
             fwd, sigmas, pair_op, prox, cfg, lr_scaled=lr_scaled, **kw)
-        yrB = jnp.tile(results[role]["yr"], (B, 1, 1, 1))
-        yiB = jnp.tile(results[role]["yi"], (B, 1, 1, 1))
+        yrB = jnp.tile(slices[idx]["yr"], (B, 1, 1, 1))
+        yiB = jnp.tile(slices[idx]["yi"], (B, 1, 1, 1))
         xr, xi = recon(params, yrB, yiB,
                        jax.random.PRNGKey(args.seed + 100 + key_off))
         mag = jnp.sqrt(xr ** 2 + xi ** 2).mean(axis=0)
-        return mag, eval_mag(mag, role)
+        return mag, eval_mag(mag, idx)
+
+    tuning = {"lr_scaled": [], "seg_lamda": []}
 
     # 1) data-consistency weight tuned on val, guidance OFF
     best = None
     for i, lrs in enumerate(args.lr_scaled_grid):
         t0 = time.time()
-        _, (n, s, d) = run("val", lrs, key_off=i)
+        _, (n, s, d) = run(val_idx, lrs, key_off=i)
         log(f"val ALD lr_scaled={lrs:g}: NRMSE {n:.4f} SSIM {s:.4f} "
             f"Dice {d:.4f} ({time.time() - t0:.0f}s)")
+        tuning["lr_scaled"].append(
+            {"lr_scaled": lrs, "nrmse": round(n, 4), "ssim": round(s, 4),
+             "dice": round(d, 4)})
         if best is None or n < best[0]:
             best = (n, lrs)
     lr_scaled = best[1]
@@ -290,24 +308,38 @@ def main(argv=None):
     best = None
     for i, lam in enumerate(args.seg_lamda_grid):
         t0 = time.time()
-        _, (n, s, d) = run("val", lr_scaled, seg_lamda=lam, key_off=50 + i)
+        _, (n, s, d) = run(val_idx, lr_scaled, seg_lamda=lam, key_off=50 + i)
         log(f"val ALD+seg lamda={lam:g}: NRMSE {n:.4f} SSIM {s:.4f} "
             f"Dice {d:.4f} ({time.time() - t0:.0f}s)")
+        tuning["seg_lamda"].append(
+            {"seg_lamda": lam, "nrmse": round(n, 4), "ssim": round(s, 4),
+             "dice": round(d, 4)})
         if best is None or n < best[0]:
             best = (n, lam)
     seg_lamda = best[1]
     log(f"seg_lamda tuned to {seg_lamda:g}")
 
-    # 3) test runs (same key for both conditions: paired comparison)
-    mag, out_rows["ALD"] = run("test", lr_scaled, key_off=1000)
-    mags["ALD"] = np.asarray(mag)
-    log(f"test ALD:     NRMSE {out_rows['ALD'][0]:.4f} "
-        f"SSIM {out_rows['ALD'][1]:.4f} Dice {out_rows['ALD'][2]:.4f}")
-    mag, out_rows["ALD+seg"] = run("test", lr_scaled, seg_lamda=seg_lamda,
-                                   key_off=1000)
-    mags["ALD+seg"] = np.asarray(mag)
-    log(f"test ALD+seg: NRMSE {out_rows['ALD+seg'][0]:.4f} "
-        f"SSIM {out_rows['ALD+seg'][1]:.4f} Dice {out_rows['ALD+seg'][2]:.4f}")
+    # 3) test runs, averaged over slices (same key per slice for both
+    #    conditions: paired comparison)
+    per_slice = {"ALD": [], "ALD+seg": []}
+    for idx in range(args.n_test):
+        mag, row = run(idx, lr_scaled, key_off=1000 + idx)
+        per_slice["ALD"].append(row)
+        if idx == 0:
+            mags["ALD"] = np.asarray(mag)
+        log(f"test[{idx}] ALD:     NRMSE {row[0]:.4f} SSIM {row[1]:.4f} "
+            f"Dice {row[2]:.4f}")
+        mag, row = run(idx, lr_scaled, seg_lamda=seg_lamda,
+                       key_off=1000 + idx)
+        per_slice["ALD+seg"].append(row)
+        if idx == 0:
+            mags["ALD+seg"] = np.asarray(mag)
+        log(f"test[{idx}] ALD+seg: NRMSE {row[0]:.4f} SSIM {row[1]:.4f} "
+            f"Dice {row[2]:.4f}")
+    for name in ("ALD", "ALD+seg"):
+        out_rows[name] = tuple(np.mean(per_slice[name], axis=0))
+        log(f"test mean {name}: NRMSE {out_rows[name][0]:.4f} "
+            f"SSIM {out_rows[name][1]:.4f} Dice {out_rows[name][2]:.4f}")
 
     # ---- artifacts ------------------------------------------------------
     import matplotlib
@@ -315,11 +347,15 @@ def main(argv=None):
     import matplotlib.pyplot as plt
     names = ["original", "ZF", "ALD", "ALD+seg"]
     fig, axes = plt.subplots(1, len(names), figsize=(3 * len(names), 3.2))
+    fig_rows = dict(out_rows)        # figure shows slice 0 -> its metrics
+    fig_rows["ZF"] = zf_rows[0]
+    for name in ("ALD", "ALD+seg"):
+        fig_rows[name] = per_slice[name][0]
     for ax, name in zip(axes, names):
         ax.imshow(np.squeeze(mags[name]), cmap="gray")
         title = name if name == "original" else (
-            f"{name}\nNRMSE {out_rows[name][0]:.3f} / "
-            f"SSIM {out_rows[name][1]:.3f} / Dice {out_rows[name][2]:.3f}")
+            f"{name}\nNRMSE {fig_rows[name][0]:.3f} / "
+            f"SSIM {fig_rows[name][1]:.3f} / Dice {fig_rows[name][2]:.3f}")
         ax.set_title(title, fontsize=9)
         ax.set_axis_off()
     fig.tight_layout()
@@ -331,6 +367,10 @@ def main(argv=None):
     payload = {"args": {k: v for k, v in vars(args).items()},
                "tuned": {"lr_scaled": lr_scaled, "seg_lamda": seg_lamda,
                          "clean_seg_dice": round(clean_dice, 4)},
+               "tuning": tuning,
+               "per_test_slice": {
+                   k: [[round(float(x), 4) for x in row] for row in v]
+                   for k, v in per_slice.items()},
                "results": rows}
     with open(os.path.join(args.out, "results.json"), "w") as f:
         json.dump(payload, f, indent=2)

@@ -253,8 +253,13 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
         from .ald import compute_seg_grad
         seg_label2 = stack_parts(seg_label, seg_label)
 
+    # hyperparameters that tuning loops sweep (lr_scaled, seg_lamda) are
+    # traced scalars, not baked constants: every grid point shares one
+    # compiled program (identical HLO -> persistent-cache hit even across
+    # factory instances)
     @jax.jit
-    def level_step(params, xr, xi, yr, yi, c, sigma, lh_w, key):
+    def level_step(params, xr, xi, yr, yi, c, sigma, lh_w, lr_scaled_t,
+                   seg_lamda_t, key):
         def score_fn(x, labels):
             return module.apply({"params": params}, x, sigmas[labels])
         step_size = config.step_lr * (sigma / sigma_last) ** 2
@@ -267,12 +272,12 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
             if use_seg:
                 g_seg = compute_seg_grad(seg_fn, stacked, seg_label2,
                                          seg_mode)
-                grads = grads + g_seg / sigma * (lh_w * seg_lamda)
+                grads = grads + g_seg / sigma * (lh_w * seg_lamda_t)
             g_re, g_im = unstack_parts(grads)
             xr = _langevin_update(xr, g_re, step_size, k_re)
             xi = _langevin_update(xi, g_im, step_size, k_im)
             xr, xi = proximal(xr, xi, yr, yi,
-                              config.step_lr * lr_scaled, 1.0)
+                              config.step_lr * lr_scaled_t, 1.0)
             return xr, xi, key
 
         return jax.lax.fori_loop(0, config.n_steps_each, inner,
@@ -287,12 +292,16 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
         g_re, g_im = unstack_parts(grads)
         return xr + sigma_last ** 2 * g_re, xi + sigma_last ** 2 * g_im
 
+    lr_scaled_t = jnp.float32(lr_scaled)
+    seg_lamda_t = jnp.float32(seg_lamda)
+
     def recon(params, yr, yi, key):
         xr, xi = lin_tfm.conj_op(yr, yi)
         for c in range(L):
             xr, xi, key = level_step(params, xr, xi, yr, yi,
                                      jnp.int32(c), sigmas[c],
-                                     lh_weights[c], key)
+                                     lh_weights[c], lr_scaled_t,
+                                     seg_lamda_t, key)
             # host-stepped loop: call the diagnostics hook directly
             if (snapshot_fn is not None and config.snapshot_every > 0
                     and c % config.snapshot_every == 0):
@@ -349,7 +358,7 @@ def make_stepped_2d_time_pair_reconstructor(
 
     @jax.jit
     def level_step(params_S, params_T, xr, xi, yr, yi, c, sigma, sigma_T,
-                   key):
+                   lr_scaled_t, lamda_T_t, key):
         B, T, H, W, C = xr.shape
 
         def score_S(x, labels):
@@ -375,8 +384,8 @@ def make_stepped_2d_time_pair_reconstructor(
 
         def temporal_step(xr, xi, key):
             if use_tv:
-                xr = xr + finite_diff.log_lh_grad(xr, lamda=lamda_T)
-                xi = xi + finite_diff.log_lh_grad(xi, lamda=lamda_T)
+                xr = xr + finite_diff.log_lh_grad(xr, lamda=lamda_T_t)
+                xi = xi + finite_diff.log_lh_grad(xi, lamda=lamda_T_t)
                 return xr, xi
             if not use_temporal_diffusion:
                 return xr, xi
@@ -393,7 +402,7 @@ def make_stepped_2d_time_pair_reconstructor(
                 tr = reshape_temporal_dim(fr, win_size, win_size)
                 ti = reshape_temporal_dim(fi, win_size, win_size)
                 step_size = (config.step_lr * (sigma_T / sigma_T_last) ** 2) \
-                    * lamda_T
+                    * lamda_T_t
                 stacked = stack_parts(tr, ti)
                 grads = score_T(stacked, _labels(stacked, c))
                 g_re, g_im = unstack_parts(grads)
@@ -415,7 +424,7 @@ def make_stepped_2d_time_pair_reconstructor(
         def proximal_step(xr, xi):
             fr = xr.reshape(B * T, H, W, C)
             fi = xi.reshape(B * T, H, W, C)
-            fr, fi = proximal(fr, fi, yr, yi, config.step_lr * lr_scaled,
+            fr, fi = proximal(fr, fi, yr, yi, config.step_lr * lr_scaled_t,
                               1.0)
             return fr.reshape(B, T, H, W, C), fi.reshape(B, T, H, W, C)
 
@@ -429,6 +438,9 @@ def make_stepped_2d_time_pair_reconstructor(
 
         return lax.fori_loop(0, config.n_steps_each, inner, (xr, xi, key))
 
+    lr_scaled_t = jnp.float32(lr_scaled)
+    lamda_T_t = jnp.float32(lamda_T)
+
     def recon(params_S, params_T, yr, yi, key):
         num_sens, BT, H, W, C = yr.shape
         T = num_frames if num_frames is not None else BT
@@ -439,7 +451,8 @@ def make_stepped_2d_time_pair_reconstructor(
         for c in range(L):
             xr, xi, key = level_step(params_S, params_T, xr, xi, yr, yi,
                                      jnp.int32(c), sigmas[c],
-                                     sigmas_T_full[c], key)
+                                     sigmas_T_full[c], lr_scaled_t,
+                                     lamda_T_t, key)
             if (snapshot_fn is not None and config.snapshot_every > 0
                     and c % config.snapshot_every == 0):
                 snapshot_fn(c, float(sigmas[c]), xr, xi)
