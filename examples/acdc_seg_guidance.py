@@ -207,12 +207,12 @@ def main(argv=None):
                                                       "seg.msgpack"))
     seg_params_d = jax.tree_util.tree_map(jnp.asarray, seg_params)
 
-    def seg_fn(x):
-        return seg_module.apply({"params": seg_params_d}, x)
+    def seg_fn(p, x):                # weights as argument (axon-safe jit)
+        return seg_module.apply({"params": p}, x)
 
     @jax.jit
     def seg_predict(x):
-        return jnp.argmax(seg_fn(x), axis=-1)
+        return jnp.argmax(seg_fn(seg_params_d, x), axis=-1)
 
     # sanity: seg quality on clean held-out slices
     # slices [0 .. n_test-1] = test (reported, averaged); [n_test] = val
@@ -274,7 +274,7 @@ def main(argv=None):
         """One chain-chunk ensemble; returns (mean_mag, (nrmse, ssim, dice))."""
         kw = {}
         if seg_lamda is not None:
-            kw = dict(seg_fn=seg_fn,
+            kw = dict(seg_fn=seg_fn, seg_params=seg_params_d,
                       seg_label=jnp.tile(slices[idx]["label"], (B, 1, 1)),
                       seg_lamda=seg_lamda,
                       seg_start_time=args.seg_start_time)

@@ -268,6 +268,13 @@ def interp_sigmas_T(sigmas_S: np.ndarray, sigmas_T: np.ndarray) -> np.ndarray:
     sigmas_T = np.asarray(sigmas_T)
     n = int((sigmas_S <= sigmas_T[0]).sum())
     out = np.full(sigmas_S.shape, -1.0, dtype=np.float32)
+    if n == 0:
+        # temporal ladder entirely below the spatial ladder: the temporal
+        # step would never activate (out[-0:] would also mis-slice)
+        raise ValueError(
+            f"temporal ladder (max {sigmas_T[0]:g}) lies entirely below "
+            f"the spatial ladder (min {sigmas_S.min():g}); no level would "
+            "run a temporal step — check sigma_begin_T/sigma_end_S")
     # torch F.interpolate(mode="nearest") from len L_T to len n
     idx = (np.arange(n) * sigmas_T.shape[0] / n).astype(np.int64)
     out[-n:] = sigmas_T[idx]

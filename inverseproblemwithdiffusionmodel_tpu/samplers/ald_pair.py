@@ -47,6 +47,7 @@ def ald_inverse_proximal_pair(
     use_seg = seg_fn is not None
     if use_seg:
         from .ald import compute_seg_grad
+        assert seg_label is not None, "seg_fn given but seg_label is None"
         seg_label2 = stack_parts(seg_label, seg_label)
 
     def level_step(carry, inp):
@@ -60,7 +61,6 @@ def ald_inverse_proximal_pair(
             stacked = stack_parts(x_re, x_im)
             grads = score_fn(stacked, _labels(stacked, c))
             if use_seg:
-                from .ald import compute_seg_grad
                 g_seg = compute_seg_grad(seg_fn, stacked, seg_label2,
                                          seg_mode)
                 grads = grads + g_seg / sigma * (lh_w * seg_lamda)
@@ -234,6 +234,7 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
                                     seg_lamda: float = 1.0,
                                     seg_start_time: float = 1.0,
                                     seg_mode: str = "full",
+                                    seg_params=None,
                                     snapshot_fn: Optional[Callable] = None):
     """Host-scheduled variant: one jitted sigma-LEVEL step (compiles like a
     single forward) looped over levels on the host with async dispatch.
@@ -243,6 +244,12 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
     where a whole-chain `lax.scan` program is impractical to compile (e.g.
     the axon remote-compile service rejects large programs). Returns
     `recon(params, yr, yi, key) -> (xr, xi)`.
+
+    Pass the seg net's weights via `seg_params` (then `seg_fn(seg_params,
+    x)` is called) rather than closed over inside `seg_fn`: closed-over
+    pytrees are inlined as HLO constants (slow lowering / remote-compile
+    aborts on axon — see CLAUDE.md), and a weights-as-argument program is
+    shared across factory instances.
     """
     sigmas = jnp.asarray(sigmas)
     sigma_last = sigmas[-1]
@@ -251,15 +258,19 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
     use_seg = seg_fn is not None
     if use_seg:
         from .ald import compute_seg_grad
+        assert seg_label is not None, "seg_fn given but seg_label is None"
         seg_label2 = stack_parts(seg_label, seg_label)
+    else:
+        seg_label2 = None
 
-    # hyperparameters that tuning loops sweep (lr_scaled, seg_lamda) are
-    # traced scalars, not baked constants: every grid point shares one
-    # compiled program (identical HLO -> persistent-cache hit even across
-    # factory instances)
+    # everything a tuning loop sweeps (lr_scaled, seg_lamda) or that holds
+    # weights/labels (seg_params_t, seg_label_t) is a traced ARGUMENT, not
+    # a baked constant: every grid point / test slice shares one compiled
+    # program (identical HLO -> persistent-cache hit even across factory
+    # instances)
     @jax.jit
     def level_step(params, xr, xi, yr, yi, c, sigma, lh_w, lr_scaled_t,
-                   seg_lamda_t, key):
+                   seg_lamda_t, seg_params_t, seg_label_t, key):
         def score_fn(x, labels):
             return module.apply({"params": params}, x, sigmas[labels])
         step_size = config.step_lr * (sigma / sigma_last) ** 2
@@ -270,7 +281,9 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
             stacked = stack_parts(xr, xi)
             grads = score_fn(stacked, _labels(stacked, c))
             if use_seg:
-                g_seg = compute_seg_grad(seg_fn, stacked, seg_label2,
+                sfn = seg_fn if seg_params_t is None \
+                    else (lambda x: seg_fn(seg_params_t, x))
+                g_seg = compute_seg_grad(sfn, stacked, seg_label_t,
                                          seg_mode)
                 grads = grads + g_seg / sigma * (lh_w * seg_lamda_t)
             g_re, g_im = unstack_parts(grads)
@@ -301,7 +314,8 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
             xr, xi, key = level_step(params, xr, xi, yr, yi,
                                      jnp.int32(c), sigmas[c],
                                      lh_weights[c], lr_scaled_t,
-                                     seg_lamda_t, key)
+                                     seg_lamda_t, seg_params, seg_label2,
+                                     key)
             # host-stepped loop: call the diagnostics hook directly
             if (snapshot_fn is not None and config.snapshot_every > 0
                     and c % config.snapshot_every == 0):

@@ -185,14 +185,40 @@ def map_optimizer_2d_time(
     return _to_complex(params)
 
 
+def _safe_modulus(sq: jnp.ndarray) -> jnp.ndarray:
+    """sqrt(sq) with a zero (not NaN) gradient at sq == 0 — torch's
+    sgn(0) = 0 subgradient convention for abs()."""
+    nz = sq > 0
+    return jnp.where(nz, jnp.sqrt(jnp.where(nz, sq, 1.0)), 0.0)
+
+
 def tv_norm_noncircular(x: jnp.ndarray, spatial_axes: Tuple[int, int]) -> jnp.ndarray:
-    """Anisotropic TV with open boundaries, matching
+    """Anisotropic-in-space TV with open boundaries, matching
     kornia.losses.TotalVariation used by the reference TV baseline
-    (scripts/acdc_SENSE_TV.py:16,78)."""
+    (scripts/acdc_SENSE_TV.py:16,78): sum_axis sum |diff(x, axis)|.
+    For complex x, |.| is the complex modulus (kornia's .abs() on the
+    reference's complex nn.Parameter, MAP_optimizers.py:45)."""
+    if jnp.iscomplexobj(x):
+        return tv_norm_noncircular_pair(jnp.real(x), jnp.imag(x),
+                                        spatial_axes)
     ax0, ax1 = spatial_axes
     d0 = jnp.diff(x, axis=ax0)
     d1 = jnp.diff(x, axis=ax1)
     return jnp.sum(jnp.abs(d0)) + jnp.sum(jnp.abs(d1))
+
+
+def tv_norm_noncircular_pair(re: jnp.ndarray, im: jnp.ndarray,
+                             spatial_axes: Tuple[int, int]) -> jnp.ndarray:
+    """Complex-modulus TV on a (Re, Im) pair:
+    sum_axis sum sqrt(diff(Re)^2 + diff(Im)^2) — the pair form of
+    kornia TotalVariation applied to a complex image."""
+    ax0, ax1 = spatial_axes
+    out = jnp.asarray(0.0, dtype=re.dtype)
+    for ax in (ax0, ax1):
+        dr = jnp.diff(re, axis=ax)
+        di = jnp.diff(im, axis=ax)
+        out = out + jnp.sum(_safe_modulus(dr * dr + di * di))
+    return out
 
 
 def tv_reconstruction(
@@ -205,15 +231,15 @@ def tv_reconstruction(
 ) -> jnp.ndarray:
     """TV-regularized least squares baseline (reference: MAPModel +
     TrainMAPModel, helpers/pl_helpers.py:402-442):
-    min_x 0.5 ||A x - y||^2 + w * TV(|Re x| + |Im x|)."""
+    min_x 0.5 ||A x - y||^2 + w * TV(x), TV with complex-modulus
+    differences (kornia TotalVariation on the complex parameter)."""
     x0 = lin_tfm.conj_op(measurement) if x_init is None else x_init
 
     def loss_fn(p):
         x = _to_complex(p)
         res = lin_tfm(x) - measurement
         data = 0.5 * jnp.sum(jnp.abs(res) ** 2)
-        reg = tv_norm_noncircular(p["re"], spatial_axes) + \
-            tv_norm_noncircular(p["im"], spatial_axes)
+        reg = tv_norm_noncircular_pair(p["re"], p["im"], spatial_axes)
         return data + reg_weight * reg
 
     opt = optax.adam(config.lr, b1=config.b1, b2=config.b2)

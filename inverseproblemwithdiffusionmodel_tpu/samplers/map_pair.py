@@ -25,7 +25,7 @@ from jax import lax
 import optax
 
 from .ald import ScoreFn, _labels, interp_sigmas_T
-from .map_opt import MAPConfig, tv_norm_noncircular
+from .map_opt import MAPConfig, tv_norm_noncircular_pair
 from ..operators.finite_diff import FiniteDiff
 from ..utils.reshape import reshape_temporal_dim
 from ..utils.misc import stack_parts, unstack_parts
@@ -197,15 +197,15 @@ def tv_reconstruction_pair(
 ) -> Pair:
     """Pair form of tv_reconstruction (reference: MAPModel + TrainMAPModel,
     helpers/pl_helpers.py:402-442):
-    min_x 0.5 ||A x - y||^2 + w * (TV(Re x) + TV(Im x))."""
+    min_x 0.5 ||A x - y||^2 + w * TV(x), TV with complex-modulus
+    differences (kornia TotalVariation on the complex parameter)."""
     yr, yi = measurement
     x0 = lin_tfm.conj_op(yr, yi) if x_init is None else x_init
 
     def loss_fn(p):
         fr, fi = lin_tfm(p["re"], p["im"])
         data = 0.5 * (jnp.sum((fr - yr) ** 2) + jnp.sum((fi - yi) ** 2))
-        reg = tv_norm_noncircular(p["re"], spatial_axes) + \
-            tv_norm_noncircular(p["im"], spatial_axes)
+        reg = tv_norm_noncircular_pair(p["re"], p["im"], spatial_axes)
         return data + reg_weight * reg
 
     opt = optax.adam(config.lr, b1=config.b1, b2=config.b2)

@@ -274,3 +274,37 @@ def test_snapshot_hook_fires(tmp_path):
     files = sorted(os.listdir(tmp_path))
     assert "snap_level00000.npy" in files and "snap_level00008.png" in files
     assert "snap_log.txt" in files
+
+
+def test_tv_norm_complex_modulus_torch_parity():
+    """TV on a complex image == kornia TotalVariation semantics on the
+    reference's complex parameter (diff -> complex .abs() -> sum,
+    scripts/acdc_SENSE_TV.py:77, MAP_optimizers.py:45)."""
+    import torch
+    from inverseproblemwithdiffusionmodel_tpu.samplers.map_opt import (
+        tv_norm_noncircular, tv_norm_noncircular_pair)
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    re = jax.random.normal(k1, (2, 8, 9, 1))
+    im = jax.random.normal(k2, (2, 8, 9, 1))
+    x = re + 1j * im
+    ours = float(tv_norm_noncircular(x, (1, 2)))
+    ours_pair = float(tv_norm_noncircular_pair(re, im, (1, 2)))
+    z = torch.tensor(np.asarray(x))
+    ref = (z[:, 1:] - z[:, :-1]).abs().sum() \
+        + (z[:, :, 1:] - z[:, :, :-1]).abs().sum()
+    assert abs(ours - float(ref)) < 1e-3
+    assert abs(ours_pair - float(ref)) < 1e-3
+    # zero-difference regions get torch's sgn(0)=0 subgradient, not NaN
+    g = jax.grad(lambda r: tv_norm_noncircular_pair(r, jnp.zeros_like(r),
+                                                    (1, 2)))(
+        jnp.ones((1, 4, 4, 1)))
+    assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_interp_sigmas_T_disjoint_ladders_raise():
+    from inverseproblemwithdiffusionmodel_tpu.samplers.ald import (
+        interp_sigmas_T)
+    s_spatial = np.asarray(sigma_ladder(10.0, 1.0, 8))
+    s_temporal = np.asarray(sigma_ladder(0.5, 0.01, 6))  # max < spatial min
+    with pytest.raises(ValueError, match="temporal ladder"):
+        interp_sigmas_T(s_spatial, s_temporal)
