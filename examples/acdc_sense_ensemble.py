@@ -103,7 +103,7 @@ def main(argv=None):
     p.add_argument("--map_lamdas", type=float, nargs="+",
                    default=[0.01, 0.03, 0.1, 0.3])
     p.add_argument("--tv_regs", type=float, nargs="+",
-                   default=[0.003, 0.01, 0.03, 0.1])
+                   default=[0.0003, 0.001, 0.003, 0.01])
     p.add_argument("--retrain", action="store_true")
     p.add_argument("--f32", action="store_true")
     p.add_argument("--quick", action="store_true")
