@@ -26,6 +26,7 @@ def anneal_dsm_score_estimation(
     labels: Optional[jnp.ndarray] = None,
     anneal_power: float = 2.0,
     sample_weight: Optional[jnp.ndarray] = None,
+    noise: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Discrete annealed DSM loss.
 
@@ -34,13 +35,17 @@ def anneal_dsm_score_estimation(
     sigma^anneal_power. `sample_weight` (B,) re-weights per-sample losses —
     the jit-safe form of the reference's TV-based 1-D foreground filtering
     (helpers/load_data.py:417-440 drops rows; dropping changes shapes, a
-    weight of 0 has the identical expected gradient).
+    weight of 0 has the identical expected gradient). `noise` injects the
+    standard-normal draw (pre sigma-scaling) for deterministic oracle tests
+    against the reference loss (ncsn/losses/dsm.py:9).
     """
     key_labels, key_noise = jax.random.split(key)
     if labels is None:
         labels = jax.random.randint(key_labels, (samples.shape[0],), 0, sigmas.shape[0])
     used_sigmas = _expand(sigmas[labels], samples)
-    noise = jax.random.normal(key_noise, samples.shape, samples.dtype) * used_sigmas
+    if noise is None:
+        noise = jax.random.normal(key_noise, samples.shape, samples.dtype)
+    noise = noise * used_sigmas
     perturbed = samples + noise
     target = -noise / used_sigmas**2
     scores = score_fn(perturbed, labels)

@@ -91,7 +91,11 @@ class NCSN3DShallow(nn.Module):
         ref3 = ConvTranspose(features=ngf, kernel_size=(1, 1, 4),
                              stride=(1, 1, 2), padding=(0, 0, 1), ndim=3,
                              name="conv_temporal_up")(ref2)
-        output = RefineBlock(features=ngf, act=act, ndim=3, end=True,
+        # NOTE: the reference's last 3D refine block is NOT marked end=True
+        # (ncsn/models/ncsn3d.py:174 passes the default), so its output RCU
+        # has 1 block, unlike the 2D nets' 3-block end RCU. Matched here so
+        # reference-trained checkpoints import exactly.
+        output = RefineBlock(features=ngf, act=act, ndim=3,
                              name="refine3")([layer1, ref3], sdims(layer1))
 
         output = norm(num_features=ngf, name="normalizer")(output)
