@@ -19,7 +19,6 @@ Covered:
   - `ncsn/linear_transforms/masking.py:6-44` SkipLines fwd/adjoint/projection
   - `ncsn/losses/dsm.py:3-19` anneal_dsm_score_estimation golden values
 """
-import sys
 import types
 
 import numpy as np
@@ -27,68 +26,32 @@ import jax
 import jax.numpy as jnp
 import pytest
 
+from tests.oracle_common import ref_modules
+
 torch = pytest.importorskip("torch")
-
-REF_ROOT = "/root/reference"
-
-
-def _stub_module(name: str, **attrs):
-    """Install a minimal stand-in for a dep absent from this image."""
-    if name in sys.modules:
-        return sys.modules[name]
-    try:
-        return __import__(name)
-    except ImportError:
-        pass
-    mod = types.ModuleType(name)
-    for k, v in attrs.items():
-        setattr(mod, k, v)
-    sys.modules[name] = mod
-    if "." in name:
-        parent_name, child = name.rsplit(".", 1)
-        parent = _stub_module(parent_name)
-        setattr(parent, child, mod)
-    return mod
 
 
 @pytest.fixture(scope="module")
-def ref(tmp_path_factory):
+def ref():
     """Import the reference modules (torch CPU) as parity oracles."""
-    import os
-    if not os.path.isdir(REF_ROOT):
-        pytest.skip("reference tree not available")
-    # deps the reference imports at module scope but never exercises in the
-    # code paths under test
-    _stub_module("SimpleITK")
-    _stub_module("torchvision")
-    _stub_module("torchvision.utils", make_grid=lambda *a, **k: None)
-    _stub_module("monai")
-    _stub_module("monai.networks")
-    _stub_module("monai.networks.nets", UNet=object)
-
-    root = tmp_path_factory.mktemp("refroot")
-    link = root / "InverseProblemWithDiffusionModel"
-    link.symlink_to(REF_ROOT)
-    sys.path.insert(0, str(root))
-    import importlib
-    ns = types.SimpleNamespace()
-    try:
-        ns.models_init = importlib.import_module(
-            "InverseProblemWithDiffusionModel.ncsn.models")
-        ns.ncsnv2 = importlib.import_module(
-            "InverseProblemWithDiffusionModel.ncsn.models.ncsnv2")
-        ns.ncsn1d = importlib.import_module(
-            "InverseProblemWithDiffusionModel.ncsn.models.ncsn1d")
-        ns.ncsn3d = importlib.import_module(
-            "InverseProblemWithDiffusionModel.ncsn.models.ncsn3d")
-        ns.lin_tfm = importlib.import_module(
-            "InverseProblemWithDiffusionModel.ncsn.linear_transforms")
-        ns.masking = importlib.import_module(
-            "InverseProblemWithDiffusionModel.ncsn.linear_transforms.masking")
-        ns.dsm = importlib.import_module(
-            "InverseProblemWithDiffusionModel.ncsn.losses.dsm")
-    except Exception as e:  # pragma: no cover - environment-specific
-        pytest.skip(f"reference import failed: {e!r}")
+    ns = ref_modules(
+        pytest,
+        "ncsn.models",
+        "ncsn.models.ncsnv2",
+        "ncsn.models.ncsn1d",
+        "ncsn.models.ncsn3d",
+        "ncsn.linear_transforms",
+        "ncsn.linear_transforms.masking",
+        "ncsn.losses.dsm",
+    )
+    # keep this file's historical short names
+    ns.models_init = ns.ncsn_models
+    ns.ncsnv2 = ns.ncsn_models_ncsnv2
+    ns.ncsn1d = ns.ncsn_models_ncsn1d
+    ns.ncsn3d = ns.ncsn_models_ncsn3d
+    ns.lin_tfm = ns.ncsn_linear_transforms
+    ns.masking = ns.ncsn_linear_transforms_masking
+    ns.dsm = ns.ncsn_losses_dsm
     return ns
 
 
