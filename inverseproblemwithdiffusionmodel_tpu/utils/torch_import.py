@@ -269,3 +269,139 @@ def _unflatten(flat: Dict[Tuple[str, ...], Any]) -> Dict[str, Any]:
             node = node.setdefault(k, {})
         node[path[-1]] = v
     return tree
+
+
+# ---------------------------------------------------------------------------
+# Continuous-stack NCSN++ (models/ncsnpp.py)
+# ---------------------------------------------------------------------------
+
+def ncsnpp_index_map(config) -> Dict[str, int]:
+    """Map our Flax NCSN++ top-level module names (models/ncsnpp.py) to the
+    reference's flat ``all_modules`` list indices (models/ncsnpp.py:68-230).
+
+    The reference appends every parameterised submodule to one ModuleList
+    in construction order; this walk replays that order from the same
+    config, so ``all_modules.{i}.<sub>.<leaf>`` keys can be resolved to our
+    named modules. The two no-conv pyramid resamplers are attributes, not
+    list entries (ncsnpp.py:101,110), so they consume no index.
+    """
+    m = config.model
+    ch_mult = tuple(m.ch_mult)
+    L = len(ch_mult)
+    num_res_blocks = m.num_res_blocks
+    attn_res = tuple(m.attn_resolutions)
+    all_res = [config.data.image_size // (2**i) for i in range(L)]
+    ddpm_blocks = m.resblock_type.lower() == "ddpm"
+    progressive = m.progressive.lower()
+    progressive_input = m.progressive_input.lower()
+
+    out: Dict[str, int] = {}
+    idx = 0
+
+    def put(name):
+        nonlocal idx
+        out[name] = idx
+        idx += 1
+
+    if m.embedding_type.lower() == "fourier":
+        put("fourier_proj")
+    if m.conditional:
+        put("temb_dense0")
+        put("temb_dense1")
+    put("conv_in")
+
+    block = 0
+    for i_level in range(L):
+        for i_block in range(num_res_blocks):
+            put(f"res_{block}")
+            block += 1
+            if all_res[i_level] in attn_res:
+                put(f"attn_d{i_level}_{i_block}")
+        if i_level != L - 1:
+            if ddpm_blocks:
+                put(f"down_{i_level}")
+            else:
+                put(f"res_{block}")
+                block += 1
+            if progressive_input == "input_skip":
+                put(f"combine_{i_level}")
+            elif progressive_input == "residual":
+                put(f"pyr_down_{i_level}")
+
+    put(f"res_{block}"); block += 1
+    put("attn_mid")
+    put(f"res_{block}"); block += 1
+
+    for i_level in reversed(range(L)):
+        for _ in range(num_res_blocks + 1):
+            put(f"res_{block}")
+            block += 1
+        if all_res[i_level] in attn_res:
+            put(f"attn_u{i_level}")
+        if progressive != "none":
+            if i_level == L - 1 or progressive == "output_skip":
+                put(f"pyr_norm_{i_level}")
+                put(f"pyr_conv_{i_level}")
+            else:  # residual, below the top level
+                put(f"pyr_up_{i_level}")
+        if i_level != 0:
+            if ddpm_blocks:
+                put(f"up_{i_level}")
+            else:
+                put(f"res_{block}")
+                block += 1
+
+    if progressive != "output_skip":
+        put("norm_out")
+        put("conv_out")
+    return out
+
+
+def convert_ncsnpp_state_dict(torch_sd: Dict[str, np.ndarray],
+                              params_template: Any, config) -> Any:
+    """Fill an NCSN++ Flax param template from a reference state dict.
+
+    Leaf grammar (reference models/layerspp.py keeps the same submodule
+    names we use - GroupNorm_0/1, Conv_0/1/2, NIN_0..3, Dense_0, Conv2d_0):
+      kernel (4-D)       <- weight, (O, I, kh, kw) -> (kh, kw, I, O)
+      kernel (2-D Dense) <- weight, (out, in) -> (in, out)
+      scale              <- weight (GroupNorm)
+      Conv2d_0_weight    <- Conv2d_0.weight (fused-FIR conv, OIHW -> HWIO)
+      W / b / bias       <- unchanged (NIN and GaussianFourierProjection
+                            store (in, out) / (n,) on both sides)
+    """
+    index_map = ncsnpp_index_map(config)
+    flat = _flatten(params_template)
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    missing: List[Tuple[Tuple[str, ...], str]] = []
+    for path, leaf_val in flat.items():
+        top, subs, leaf = path[0], path[1:-1], path[-1]
+        if top not in index_map:
+            raise KeyError(f"no all_modules index for flax module {top!r}")
+        prefix = [f"all_modules.{index_map[top]}", *subs]
+        if leaf in ("Conv2d_0_weight", "Conv2d_0_bias"):
+            key = ".".join(prefix + [leaf.replace("_weight", ".weight")
+                                     .replace("_bias", ".bias")])
+        else:
+            leaf_t = {"kernel": "weight", "scale": "weight"}.get(leaf, leaf)
+            key = ".".join(prefix + [leaf_t])
+        if key not in torch_sd:
+            missing.append((path, key))
+            continue
+        arr = np.asarray(torch_sd[key])
+        if leaf == "kernel" or leaf == "Conv2d_0_weight":
+            if arr.ndim == 4:
+                arr = arr.transpose(2, 3, 1, 0)
+            elif arr.ndim == 2:
+                arr = arr.transpose(1, 0)
+        want_shape = tuple(np.shape(leaf_val))
+        if tuple(arr.shape) != want_shape:
+            raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                             f"torch {key} {arr.shape} vs flax {want_shape}")
+        out[path] = arr.astype(np.asarray(leaf_val).dtype)
+    if missing:
+        lines = "\n".join(f"  {'/'.join(p)} <- tried {k}"
+                          for p, k in missing[:10])
+        raise KeyError(f"{len(missing)} params missing from torch state "
+                       f"dict, e.g.:\n{lines}")
+    return _unflatten(out)

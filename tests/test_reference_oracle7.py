@@ -1,0 +1,198 @@
+"""Output-level parity oracles, wave 7: the continuous model zoo's flagship
+NCSN++ UNet under imported reference weights.
+
+The reference NCSNpp (models/ncsnpp.py:35-381) is randomly initialized,
+its state dict ported through `utils/torch_import.convert_ncsnpp_state_dict`
+(which replays the reference's flat all_modules construction order), and
+our Flax NCSNpp must produce the same outputs on the same inputs, across
+the architecture grid the configs actually use:
+
+  - ve-deep style:  fourier embedding, BigGAN blocks, FIR resampling,
+    progressive_input=input_skip + progressive=output_skip, scale_by_sigma
+  - ddpm++ style:   positional embedding, DDPM blocks, no FIR,
+    no progressive pyramids, centered data
+  - residual style: fourier, BigGAN, FIR, progressive residual/residual
+
+This is the checkpoint-migration guarantee for the continuous stack: any
+reference-trained NCSN++ prior behaves identically here.
+
+Two REFERENCE DEFECTS are worked around (not replicated):
+  - the non-FIR Upsample passes the mode string as F.interpolate's
+    positional `scale_factor` (models/layerspp.py:117) and crashes on any
+    input; the test shims F.interpolate to the intended
+    nearest-to-(2H,2W) semantics when driving the reference
+  - the fused FIR upsample-conv crashes under torch (negative-step slice,
+    up_or_down_sampling.py:126, cf. wave 2), so the residual-progressive
+    variant is exercised with fir=False (its fir=True form cannot run
+    upstream at all)
+
+No reference code is copied - the reference runs as an opaque oracle.
+"""
+import types
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tests.oracle_common import ref_modules
+
+torch = pytest.importorskip("torch")
+
+
+@pytest.fixture(scope="module")
+def ref():
+    return ref_modules(pytest, "models.ncsnpp")
+
+
+def _mk_config(embedding="fourier", resblock="biggan", fir=True,
+               progressive="output_skip", progressive_input="input_skip",
+               centered=False, scale_by_sigma=True, combine="sum"):
+    NS = types.SimpleNamespace
+    return NS(
+        training=NS(continuous=True),
+        data=NS(image_size=16, num_channels=1, centered=centered),
+        model=NS(
+            nf=8, ch_mult=(1, 2), num_res_blocks=2, attn_resolutions=(8,),
+            dropout=0.0, resamp_with_conv=True, conditional=True,
+            fir=fir, fir_kernel=[1, 3, 3, 1], skip_rescale=True,
+            resblock_type=resblock, progressive=progressive,
+            progressive_input=progressive_input, embedding_type=embedding,
+            init_scale=0.0, progressive_combine=combine, fourier_scale=16,
+            scale_by_sigma=scale_by_sigma, nonlinearity="swish",
+            sigma_max=50.0, sigma_min=0.01, num_scales=100,
+            beta_min=0.1, beta_max=20.0,
+        ),
+        device="cpu",
+    )
+
+
+VARIANTS = {
+    "ve_deep": dict(),
+    "ddpmpp": dict(embedding="positional", resblock="ddpm", fir=False,
+                   progressive="none", progressive_input="none",
+                   centered=True, scale_by_sigma=False),
+    "residual": dict(progressive="residual", progressive_input="residual",
+                     fir=False),
+}
+
+
+@pytest.mark.parametrize("variant", sorted(VARIANTS))
+def test_ncsnpp_output_parity(ref, variant, monkeypatch):
+    import torch.nn.functional as F
+    from inverseproblemwithdiffusionmodel_tpu.models.ncsnpp import NCSNpp
+    from inverseproblemwithdiffusionmodel_tpu.utils.torch_import import (
+        convert_ncsnpp_state_dict)
+
+    # shim the reference's F.interpolate misuse (see module docstring)
+    real_interpolate = F.interpolate
+
+    def fixed_interpolate(x, size=None, scale_factor=None, **kw):
+        if isinstance(scale_factor, str):
+            kw.setdefault("mode", scale_factor)
+            scale_factor = None
+        return real_interpolate(x, size=size, scale_factor=scale_factor,
+                                **kw)
+
+    monkeypatch.setattr(F, "interpolate", fixed_interpolate)
+
+    cfg = _mk_config(**VARIANTS[variant])
+    torch.manual_seed(0)
+    ref_model = ref.models_ncsnpp.NCSNpp(cfg)
+    # re-randomize every weight: the configs' init_scale=0.0 zeroes the
+    # output convs, which would make the parity check vacuously ~0
+    gen = torch.Generator().manual_seed(1)
+    sd0 = ref_model.state_dict()
+    ref_model.load_state_dict(
+        {k: torch.randn(v.shape, generator=gen) * 0.1
+         for k, v in sd0.items()})
+    ref_model.eval()
+
+    rng = np.random.RandomState(60)
+    x = rng.rand(2, 1, 16, 16).astype(np.float32)
+    if cfg.model.embedding_type == "fourier":
+        time_cond = np.array([3.0, 0.5], np.float32)  # sigma values
+    else:
+        time_cond = np.array([7.0, 42.0], np.float32)  # ladder indices
+
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(x),
+                         torch.from_numpy(time_cond)).numpy()
+
+    our_model = NCSNpp(config=cfg)
+    x_ours = jnp.asarray(np.moveaxis(x, 1, -1))
+    template = our_model.init(jax.random.PRNGKey(0), x_ours,
+                              jnp.asarray(time_cond))["params"]
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = convert_ncsnpp_state_dict(sd, template, cfg)
+    got = our_model.apply({"params": params}, x_ours,
+                          jnp.asarray(time_cond))
+    got = np.moveaxis(np.asarray(got), -1, 1)
+    assert np.abs(want).max() > 1e-4
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
+
+
+def test_import_cli_continuous_roundtrip(ref, tmp_path):
+    """End-to-end migration path for a continuous checkpoint: reference
+    NCSNpp state dict saved to disk -> scripts/import_torch_checkpoint
+    --continuous -> orbax checkpoint -> restored params produce the
+    reference outputs (scripts/import_torch_checkpoint.py)."""
+    from inverseproblemwithdiffusionmodel_tpu.configs_continuous import (
+        get_continuous_config)
+    from inverseproblemwithdiffusionmodel_tpu.models.registry import (
+        create_model)
+    from inverseproblemwithdiffusionmodel_tpu.scripts import (
+        import_torch_checkpoint)
+    from inverseproblemwithdiffusionmodel_tpu.scripts._common import (
+        apply_overrides)
+    from inverseproblemwithdiffusionmodel_tpu.training import (
+        Checkpointer, TrainState, get_optimizer)
+    import optax
+
+    overrides = ["model.nf=8", "model.ch_mult=[1, 2]",
+                 "model.num_res_blocks=2", "model.attn_resolutions=[8]",
+                 "data.image_size=16"]
+    config = apply_overrides(
+        get_continuous_config("ve/cifar10_ncsnpp_continuous"), overrides)
+
+    torch.manual_seed(2)
+    ref_model = ref.models_ncsnpp.NCSNpp(config)
+    gen = torch.Generator().manual_seed(3)
+    ref_model.load_state_dict(
+        {k: torch.randn(v.shape, generator=gen) * 0.1
+         for k, v in ref_model.state_dict().items()})
+    ref_model.eval()
+
+    ckpt_path = tmp_path / "ncsnpp.pth"
+    torch.save(ref_model.state_dict(), str(ckpt_path))
+
+    out_dir = tmp_path / "orbax"
+    import_torch_checkpoint.main([
+        "--ckpt_path", str(ckpt_path),
+        "--continuous", "ve/cifar10_ncsnpp_continuous",
+        "--out_dir", str(out_dir),
+        *[f"--override={o}" for o in overrides],
+    ])
+
+    module = create_model(config)
+    S = config.data.image_size
+    x = np.random.RandomState(61).rand(
+        2, config.data.num_channels, S, S).astype(np.float32)
+    sig = np.array([2.0, 0.3], np.float32)
+
+    x_ours = jnp.asarray(np.moveaxis(x, 1, -1))
+    template = jax.jit(module.init)(jax.random.PRNGKey(0), x_ours,
+                                    jnp.asarray(sig))["params"]
+    state = TrainState.create(template, get_optimizer(config),
+                              ema_decay=0.999)
+    ckpt = Checkpointer(str(out_dir), track_best=False)
+    state = ckpt.restore(state)
+    ckpt.close()
+
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(x),
+                         torch.from_numpy(sig)).numpy()
+    got = np.moveaxis(np.asarray(module.apply(
+        {"params": state.params}, x_ours, jnp.asarray(sig))), -1, 1)
+    assert np.abs(want).max() > 1e-4
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
