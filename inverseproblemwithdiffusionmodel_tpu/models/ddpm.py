@@ -39,11 +39,15 @@ class DDPM(nn.Module):
         all_resolutions = [cfg.data.image_size // (2 ** i)
                            for i in range(num_resolutions)]
 
+        # the original DDPM UNet pins GroupNorm to 32 groups at every
+        # width (reference models/layers.py:563,626,631), unlike NCSN++'s
+        # min(ch//4, 32)
         ResnetBlock = functools.partial(
             layerspp.ResnetBlockDDPMpp, act=act, dropout=dropout,
-            skip_rescale=False, temb_dim=4 * nf)
+            skip_rescale=False, temb_dim=4 * nf, num_groups=32)
         AttnBlock = functools.partial(layerspp.AttnBlockpp,
-                                      skip_rescale=False, init_scale=0.0)
+                                      skip_rescale=False, init_scale=0.0,
+                                      num_groups=32)
 
         if cfg.model.conditional:
             temb = layerspp.get_timestep_embedding(labels, nf)
@@ -96,7 +100,7 @@ class DDPM(nn.Module):
                                       name=f"up_{i_level}")(h)
 
         assert not hs
-        h = act(nn.GroupNorm(num_groups=min(32, h.shape[-1]), epsilon=1e-6,
+        h = act(nn.GroupNorm(num_groups=32, epsilon=1e-6,
                              name="norm_out")(h))
         h = conv3x3(x.shape[-1], init_scale=0.0, name="conv_out")(h)
 

@@ -38,8 +38,13 @@ def _group_count(ch: int) -> int:
     return min(max(ch // 4, 1), 32)
 
 
-def group_norm(ch: int, name: str):
-    return nn.GroupNorm(num_groups=_group_count(ch), epsilon=1e-6, name=name)
+def group_norm(ch: int, name: str, num_groups: Optional[int] = None):
+    """GroupNorm with the NCSN++ min(ch//4, 32) group count by default
+    (layerspp.py GroupNorm call sites); the original DDPM UNet pins 32
+    groups regardless of width (models/layers.py:563,626) - pass
+    num_groups for that convention."""
+    return nn.GroupNorm(num_groups=num_groups or _group_count(ch),
+                        epsilon=1e-6, name=name)
 
 
 def ddpm_conv3x3(features: int, init_scale: float = 1.0, stride: int = 1,
@@ -118,11 +123,12 @@ class AttnBlockpp(nn.Module):
     (reference: layerspp.py:62-91)."""
     skip_rescale: bool = False
     init_scale: float = 0.0
+    num_groups: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         B, H, W, C = x.shape
-        h = group_norm(C, "GroupNorm_0")(x)
+        h = group_norm(C, "GroupNorm_0", self.num_groups)(x)
         q = NIN(C, name="NIN_0")(h)
         k = NIN(C, name="NIN_1")(h)
         v = NIN(C, name="NIN_2")(h)
@@ -202,19 +208,20 @@ class ResnetBlockDDPMpp(nn.Module):
     skip_rescale: bool = False
     init_scale: float = 0.0
     temb_dim: Optional[int] = None
+    num_groups: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
         C = x.shape[-1]
         out_ch = self.out_ch or C
-        h = self.act(group_norm(C, "GroupNorm_0")(x))
+        h = self.act(group_norm(C, "GroupNorm_0", self.num_groups)(x))
         h = ddpm_conv3x3(out_ch, name="Conv_0")(h)
         if temb is not None:
             h = h + nn.Dense(out_ch, kernel_init=default_init(),
                              bias_init=nn.initializers.zeros,
                              name="Dense_0")(self.act(temb))[:, None, None, :]
-        h = self.act(group_norm(out_ch, "GroupNorm_1")(h))
+        h = self.act(group_norm(out_ch, "GroupNorm_1", self.num_groups)(h))
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
         h = ddpm_conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
         if C != out_ch:
@@ -250,13 +257,14 @@ class ResnetBlockBigGANpp(nn.Module):
     skip_rescale: bool = True
     init_scale: float = 0.0
     temb_dim: Optional[int] = None
+    num_groups: Optional[int] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, temb: Optional[jnp.ndarray] = None,
                  train: bool = False) -> jnp.ndarray:
         C = x.shape[-1]
         out_ch = self.out_ch or C
-        h = self.act(group_norm(C, "GroupNorm_0")(x))
+        h = self.act(group_norm(C, "GroupNorm_0", self.num_groups)(x))
 
         if self.up:
             resample = (lambda v: upsample_2d_fn(v, self.fir_kernel)) \
@@ -272,7 +280,7 @@ class ResnetBlockBigGANpp(nn.Module):
             h = h + nn.Dense(out_ch, kernel_init=default_init(),
                              bias_init=nn.initializers.zeros,
                              name="Dense_0")(self.act(temb))[:, None, None, :]
-        h = self.act(group_norm(out_ch, "GroupNorm_1")(h))
+        h = self.act(group_norm(out_ch, "GroupNorm_1", self.num_groups)(h))
         h = nn.Dropout(self.dropout)(h, deterministic=not train)
         h = ddpm_conv3x3(out_ch, init_scale=self.init_scale, name="Conv_1")(h)
 

@@ -357,6 +357,54 @@ def ncsnpp_index_map(config) -> Dict[str, int]:
     return out
 
 
+def ddpm_index_map(config) -> Dict[str, int]:
+    """all_modules index map for the original DDPM UNet
+    (models/ddpm.py:58-106): the same walk as NCSN++ minus embeddings,
+    pyramids, and resampling res-blocks."""
+    m = config.model
+    ch_mult = tuple(m.ch_mult)
+    L = len(ch_mult)
+    num_res_blocks = m.num_res_blocks
+    attn_res = tuple(m.attn_resolutions)
+    all_res = [config.data.image_size // (2**i) for i in range(L)]
+
+    out: Dict[str, int] = {}
+    idx = 0
+
+    def put(name):
+        nonlocal idx
+        out[name] = idx
+        idx += 1
+
+    if m.conditional:
+        put("temb_dense0")
+        put("temb_dense1")
+    put("conv_in")
+    block = 0
+    for i_level in range(L):
+        for i_block in range(num_res_blocks):
+            put(f"res_{block}")
+            block += 1
+            if all_res[i_level] in attn_res:
+                put(f"attn_d{i_level}_{i_block}")
+        if i_level != L - 1:
+            put(f"down_{i_level}")
+    put(f"res_{block}"); block += 1
+    put("attn_mid")
+    put(f"res_{block}"); block += 1
+    for i_level in reversed(range(L)):
+        for _ in range(num_res_blocks + 1):
+            put(f"res_{block}")
+            block += 1
+        if all_res[i_level] in attn_res:
+            put(f"attn_u{i_level}")
+        if i_level != 0:
+            put(f"up_{i_level}")
+    put("norm_out")
+    put("conv_out")
+    return out
+
+
 def convert_ncsnpp_state_dict(torch_sd: Dict[str, np.ndarray],
                               params_template: Any, config) -> Any:
     """Fill an NCSN++ Flax param template from a reference state dict.
@@ -370,7 +418,22 @@ def convert_ncsnpp_state_dict(torch_sd: Dict[str, np.ndarray],
       W / b / bias       <- unchanged (NIN and GaussianFourierProjection
                             store (in, out) / (n,) on both sides)
     """
-    index_map = ncsnpp_index_map(config)
+    return _convert_indexed_state_dict(torch_sd, params_template,
+                                       ncsnpp_index_map(config))
+
+
+def convert_ddpm_state_dict(torch_sd: Dict[str, np.ndarray],
+                            params_template: Any, config) -> Any:
+    """Fill a DDPM-UNet Flax param template from a reference state dict
+    (models/ddpm.py; same leaf grammar as NCSN++, models/layers.py keeps
+    the GroupNorm_0/Conv_0/NIN_0/Dense_0 names)."""
+    return _convert_indexed_state_dict(torch_sd, params_template,
+                                       ddpm_index_map(config))
+
+
+def _convert_indexed_state_dict(torch_sd: Dict[str, np.ndarray],
+                                params_template: Any,
+                                index_map: Dict[str, int]) -> Any:
     flat = _flatten(params_template)
     out: Dict[Tuple[str, ...], np.ndarray] = {}
     missing: List[Tuple[Tuple[str, ...], str]] = []

@@ -18,6 +18,10 @@ SMALL = {"data.image_size": 16, "model.nf": 16, "model.num_res_blocks": 1,
 
 def build(name, **extra):
     cfg = get_continuous_config(name).replace(**SMALL, **extra)
+    if cfg.model.name == "ddpm" and cfg.model.nf % 32:
+        # the DDPM UNet pins GroupNorm to 32 groups at every width
+        # (reference models/layers.py:563,626): widths must divide
+        cfg = cfg.replace(**{"model.nf": 32})
     module = DDPM(config=cfg) if cfg.model.name == "ddpm" else NCSNpp(config=cfg)
     x = jnp.zeros((2, 16, 16, 3))
     cond = (jnp.array([10, 500]) if cfg.model.embedding_type == "positional"

@@ -196,3 +196,45 @@ def test_import_cli_continuous_roundtrip(ref, tmp_path):
         {"params": state.params}, x_ours, jnp.asarray(sig))), -1, 1)
     assert np.abs(want).max() > 1e-4
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
+
+
+def test_ddpm_output_parity(ref):
+    """The original DDPM UNet (models/ddpm.py:40-181) under imported
+    reference weights (utils/torch_import.convert_ddpm_state_dict)."""
+    from tests.oracle_common import load_reference
+    ref_ddpm = load_reference("models.ddpm")
+    from inverseproblemwithdiffusionmodel_tpu.models.ddpm import DDPM
+    from inverseproblemwithdiffusionmodel_tpu.utils.torch_import import (
+        convert_ddpm_state_dict)
+
+    cfg = _mk_config(embedding="positional", resblock="ddpm", fir=False,
+                     progressive="none", progressive_input="none",
+                     centered=True, scale_by_sigma=False)
+    cfg.model.nf = 32  # the DDPM UNet pins 32 GroupNorm groups: channel
+    # counts must be multiples of 32 (models/layers.py:563)
+    torch.manual_seed(4)
+    ref_model = ref_ddpm.models_ddpm.DDPM(cfg)
+    gen = torch.Generator().manual_seed(5)
+    ref_model.load_state_dict(
+        {k: torch.randn(v.shape, generator=gen) * 0.1
+         for k, v in ref_model.state_dict().items()})
+    ref_model.eval()
+
+    rng = np.random.RandomState(62)
+    x = rng.rand(2, 1, 16, 16).astype(np.float32)
+    labels = np.array([7.0, 42.0], np.float32)
+
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(x),
+                         torch.from_numpy(labels)).numpy()
+
+    our_model = DDPM(config=cfg)
+    x_ours = jnp.asarray(np.moveaxis(x, 1, -1))
+    template = our_model.init(jax.random.PRNGKey(0), x_ours,
+                              jnp.asarray(labels))["params"]
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = convert_ddpm_state_dict(sd, template, cfg)
+    got = our_model.apply({"params": params}, x_ours, jnp.asarray(labels))
+    got = np.moveaxis(np.asarray(got), -1, 1)
+    assert np.abs(want).max() > 1e-4
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
