@@ -468,3 +468,142 @@ def _convert_indexed_state_dict(torch_sd: Dict[str, np.ndarray],
         raise KeyError(f"{len(missing)} params missing from torch state "
                        f"dict, e.g.:\n{lines}")
     return _unflatten(out)
+
+
+# ---------------------------------------------------------------------------
+# NCSN v1 (conditional RefineNet; ncsn/models/ncsn.py, models/ncsnv2.py NCSN)
+# ---------------------------------------------------------------------------
+
+_COND_RCU_NORM_RE = re.compile(r"^norm_(\d+)_(\d+)$")
+_COND_ONE_NORM_RE = re.compile(r"^norm_(\d+)$")
+_EMBED_LEAVES = {"gamma_embed": 0, "alpha_embed": 1, "beta_embed": 2}
+
+
+def _cond_norm_slice(weight: np.ndarray, leaf: str, nf: int) -> np.ndarray:
+    """Split a conditional-norm Embedding weight (num_classes, k*nf) into
+    the reference's chunk order - gamma, alpha[, beta]
+    (ncsn/models/normalization.py:200-207 chunk(3); bias=False chunks 2)."""
+    return weight[:, _EMBED_LEAVES[leaf] * nf:(_EMBED_LEAVES[leaf] + 1) * nf]
+
+
+def cond_ncsn_torch_prefix(parts: Sequence[str]) -> str:
+    """Torch module prefix for a flax NCSN-v1 module path (leaf excluded).
+
+    Grammar (reference ncsn/models/ncsn.py:9-100, layers.py:86-290
+    conditional blocks): `res{s}_{i}` -> `res{s}.{i}` with norm1/norm2 ->
+    normalize1/normalize2 and the v2 conv enumeration; `refine{r}` subs
+    adapt_{i} -> adapt_convs.{i}, output -> output_convs, crp/msf keep
+    their names with `norm_{i}` -> `norms.{i}` and autonamed convs ->
+    `convs.{i}` / `{b}_{s}_conv`.
+    """
+    head = parts[0]
+    if head in ("begin_conv", "end_conv", "normalizer"):
+        return ".".join([head, *parts[1:]])
+
+    m = _RES_RE.match(head)
+    if m:
+        stage, idx = m.groups()
+        base = [f"res{stage}", idx]
+        in_cmp = False
+        for p in parts[1:]:
+            if p == "norm1":
+                base.append("normalize1")
+            elif p == "norm2":
+                base.append("normalize2")
+            else:
+                mc = _CONV_RE.match(p)
+                mp = _CMP_RE.match(p)
+                if mc and in_cmp:
+                    # the flax Conv inside ConvMeanPool IS torch's `.conv`
+                    in_cmp = False
+                elif mc:
+                    base.append({0: "conv1", 1: "conv2",
+                                 2: "shortcut"}[int(mc.group(1))])
+                elif mp:
+                    base.append({0: "conv2",
+                                 1: "shortcut"}[int(mp.group(1))])
+                    base.append("conv")
+                    in_cmp = True
+                else:
+                    raise KeyError(f"unrecognized res sub-path: {parts}")
+        return ".".join(base)
+
+    if head.startswith("refine"):
+        base = [head]
+        rest = list(parts[1:])
+        inner = rest.pop(0)
+        ma = _ADAPT_RE.match(inner)
+        if ma:
+            base += ["adapt_convs", ma.group(1)]
+            rcu = True
+        elif inner == "output":
+            base.append("output_convs")
+            rcu = True
+        elif inner in ("crp", "msf"):
+            base.append(inner)
+            rcu = False
+        else:
+            raise KeyError(f"unrecognized refine sub-path: {parts}")
+        for p in rest:
+            mn = _COND_RCU_NORM_RE.match(p)
+            m1 = _COND_ONE_NORM_RE.match(p)
+            mc = _CONV_RE.match(p)
+            if rcu and mn:
+                base.append(f"{int(mn.group(1)) + 1}_"
+                            f"{int(mn.group(2)) + 1}_norm")
+            elif not rcu and m1:
+                base += ["norms", m1.group(1)]
+            elif rcu and mc:
+                base.append(_rcu_conv_name(int(mc.group(1))))
+            elif not rcu and mc:
+                base += ["convs", mc.group(1)]
+            else:
+                raise KeyError(f"unrecognized refine sub-path: {parts}")
+        return ".".join(base)
+
+    raise KeyError(f"unrecognized flax param path: {parts}")
+
+
+def convert_cond_ncsn_state_dict(torch_sd: Dict[str, np.ndarray],
+                                 params_template: Any) -> Any:
+    """Fill an NCSN-v1 (conditional RefineNet) Flax param template from a
+    reference state dict. Conditional-norm embeddings are stored as one
+    torch Embedding weight (num_classes, {2,3}*nf) and split into our
+    gamma/alpha/beta_embed leaves; everything else follows the NCSNv2
+    layout rules (torch_to_flax_array)."""
+    flat = _flatten(params_template)
+    out: Dict[Tuple[str, ...], np.ndarray] = {}
+    missing: List[Tuple[Tuple[str, ...], str]] = []
+    for path, leaf_val in flat.items():
+        leaf = path[-1]
+        prefix = cond_ncsn_torch_prefix(path[:-1])
+        if leaf in _EMBED_LEAVES:
+            key = f"{prefix}.embed.weight"
+            if key not in torch_sd:
+                missing.append((path, key))
+                continue
+            nf = int(np.shape(leaf_val)[1])
+            arr = _cond_norm_slice(np.asarray(torch_sd[key]), leaf, nf)
+        else:
+            leaf_t = {"kernel": "weight", "scale": "weight"}.get(leaf, leaf)
+            key = f"{prefix}.{leaf_t}"
+            if key not in torch_sd:
+                # adjust_padding wraps the conv in Sequential(pad, conv)
+                key2 = f"{prefix}.1.{leaf_t}"
+                if key2 not in torch_sd:
+                    missing.append((path, key))
+                    continue
+                key = key2
+            arr = torch_to_flax_array(np.asarray(torch_sd[key]),
+                                      np.shape(leaf_val), leaf)
+        want_shape = tuple(np.shape(leaf_val))
+        if tuple(arr.shape) != want_shape:
+            raise ValueError(f"shape mismatch at {'/'.join(path)}: "
+                             f"torch {key} {arr.shape} vs flax {want_shape}")
+        out[path] = arr.astype(np.asarray(leaf_val).dtype)
+    if missing:
+        lines = "\n".join(f"  {'/'.join(p)} <- tried {k}"
+                          for p, k in missing[:10])
+        raise KeyError(f"{len(missing)} params missing from torch state "
+                       f"dict, e.g.:\n{lines}")
+    return _unflatten(out)

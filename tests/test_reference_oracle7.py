@@ -238,3 +238,46 @@ def test_ddpm_output_parity(ref):
     got = np.moveaxis(np.asarray(got), -1, 1)
     assert np.abs(want).max() > 1e-4
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
+
+
+def test_ncsn_v1_output_parity(ref):
+    """NCSN v1 - conditional RefineNet (ncsn/models/ncsn.py:9-100) - under
+    imported reference weights (utils/torch_import.convert_cond_ncsn_state_
+    dict): class-conditional InstanceNorm++ embeddings split from the
+    torch Embedding triplets, conditional RCU/CRP/MSF grammar."""
+    from tests.oracle_common import load_reference
+    ref_v1 = load_reference("ncsn.models.ncsn")
+    from inverseproblemwithdiffusionmodel_tpu.models.ncsn import NCSN
+    from inverseproblemwithdiffusionmodel_tpu.utils.torch_import import (
+        convert_cond_ncsn_state_dict)
+
+    NS = types.SimpleNamespace
+    cfg = NS(
+        data=NS(channels=1, image_size=32, logit_transform=False,
+                rescaled=False),
+        model=NS(ngf=8, num_classes=16, nonlinearity="elu",
+                 normalization="InstanceNorm++", spec_norm=False,
+                 sigma_begin=10.0, sigma_end=0.01, sigma_dist="geometric"),
+        device="cpu",
+    )
+    torch.manual_seed(6)
+    ref_model = ref_v1.ncsn_models_ncsn.NCSN(cfg)
+    ref_model.eval()
+
+    rng = np.random.RandomState(63)
+    x = rng.rand(2, 1, 32, 32).astype(np.float32)
+    y = np.array([3, 11], np.int64)
+
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(x), torch.from_numpy(y)).numpy()
+
+    our_model = NCSN(config=cfg)
+    x_ours = jnp.asarray(np.moveaxis(x, 1, -1))
+    template = our_model.init(jax.random.PRNGKey(0), x_ours,
+                              jnp.asarray(y))["params"]
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = convert_cond_ncsn_state_dict(sd, template)
+    got = our_model.apply({"params": params}, x_ours, jnp.asarray(y))
+    got = np.moveaxis(np.asarray(got), -1, 1)
+    assert np.abs(want).max() > 1e-3
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-4)
