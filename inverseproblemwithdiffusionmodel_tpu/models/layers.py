@@ -27,6 +27,20 @@ import flax.linen as nn
 # Activations (reference: ncsn/models/layers.py:11-23)
 # ---------------------------------------------------------------------------
 
+def centered_input(config) -> bool:
+    """Whether inputs already live in [-1, 1] (skip the `2x - 1` affine).
+
+    The discrete stack spells this `data.logit_transform or data.rescaled`
+    (reference: ncsn/models/ncsnv2.py:76-79); the continuous stack spells
+    it `data.centered` (reference: models/ncsnv2.py:47,106-110). The NCSN
+    family here serves both config trees, so accept either spelling.
+    """
+    data = config.data
+    if hasattr(data, "centered"):
+        return bool(data.centered)
+    return bool(data.logit_transform or data.rescaled)
+
+
 def get_act(config) -> Callable[[jnp.ndarray], jnp.ndarray]:
     name = config.model.nonlinearity.lower()
     if name == "elu":

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import flax.linen as nn
 
 from .layers import (Conv, conv3x3, get_act, avg_pool,
-                     ConditionalResidualBlock)
+                     ConditionalResidualBlock, centered_input)
 from .normalization import get_normalization
 from ..ops.resize import resize_align_corners
 
@@ -148,7 +148,7 @@ class NCSN(nn.Module):
         adjust = cfg.data.image_size == 28
         y = y.astype(jnp.int32)
 
-        h = x if (cfg.data.logit_transform or cfg.data.rescaled) else 2 * x - 1
+        h = x if centered_input(cfg) else 2 * x - 1
 
         def res(out_dim, resample=None, dilation=None, adjust_padding=False,
                 name=None):
@@ -202,7 +202,7 @@ class NCSNdeeper(nn.Module):
         norm = get_normalization(cfg, conditional=True)
         y = y.astype(jnp.int32)
 
-        h = x if (cfg.data.logit_transform or cfg.data.rescaled) else 2 * x - 1
+        h = x if centered_input(cfg) else 2 * x - 1
 
         def res(out_dim, resample=None, dilation=None, name=None):
             return ConditionalResidualBlock(

@@ -14,7 +14,8 @@ import numpy as np
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import Conv, ConvTranspose, ResidualBlock, RefineBlock, get_act
+from .layers import (Conv, ConvTranspose, ResidualBlock, RefineBlock,
+                     get_act, centered_input)
 from .ncsnv2 import NCSNv2, _divide_by_sigmas
 from .normalization import get_normalization
 
@@ -58,10 +59,7 @@ class NCSN3DShallow(nn.Module):
         if x_rank == 3:  # pixel tubes (B, T, kx*ky)
             x = _tube_to_volume(x, win)
 
-        if not cfg.data.logit_transform and not cfg.data.rescaled:
-            h = 2 * x - 1.0
-        else:
-            h = x
+        h = x if centered_input(cfg) else 2 * x - 1.0
 
         def res(out_dim, resample=None, dilation=None, name=None):
             return ResidualBlock(output_dim=out_dim, normalization=norm,

@@ -21,7 +21,8 @@ from typing import Any, Callable, Optional
 import jax.numpy as jnp
 import flax.linen as nn
 
-from .layers import Conv, ResidualBlock, RefineBlock, get_act
+from .layers import (Conv, ResidualBlock, RefineBlock, get_act,
+                     centered_input)
 from .normalization import get_normalization
 
 
@@ -43,10 +44,7 @@ class NCSNv2(nn.Module):
         channels = cfg.data.channels
         adjust = cfg.data.image_size == 28
 
-        if not cfg.data.logit_transform and not cfg.data.rescaled:
-            h = 2 * x - 1.0
-        else:
-            h = x
+        h = x if centered_input(cfg) else 2 * x - 1.0
 
         def res(out_dim, resample=None, dilation=None, adjust_padding=False,
                 name=None):
@@ -98,10 +96,7 @@ class NCSNv2Deeper(nn.Module):
         norm = get_normalization(cfg, conditional=False)
         channels = cfg.data.channels
 
-        if not cfg.data.logit_transform and not cfg.data.rescaled:
-            h = 2 * x - 1.0
-        else:
-            h = x
+        h = x if centered_input(cfg) else 2 * x - 1.0
 
         def res(out_dim, resample=None, dilation=None, name=None):
             return ResidualBlock(output_dim=out_dim, normalization=norm,
@@ -155,10 +150,7 @@ class NCSNv2Deepest(nn.Module):
         norm = get_normalization(cfg, conditional=False)
         channels = cfg.data.channels
 
-        if not cfg.data.logit_transform and not cfg.data.rescaled:
-            h = 2 * x - 1.0
-        else:
-            h = x
+        h = x if centered_input(cfg) else 2 * x - 1.0
 
         def res(out_dim, resample=None, dilation=None, name=None):
             return ResidualBlock(output_dim=out_dim, normalization=norm,

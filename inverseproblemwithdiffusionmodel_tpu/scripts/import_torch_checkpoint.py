@@ -12,8 +12,10 @@ Flax params and writes {params, ema, opt_state, step} with orbax.
       --ckpt_path last.ckpt --ds_name ACDC --task_name Diffusion \\
       --mode real-imag --out_dir runs/imported/ckpts
 
-Continuous-stack NCSN++ checkpoints (score_sde-style, models/ncsnpp.py)
-import through ``--continuous <config path>`` instead of --ds_name:
+Continuous-stack checkpoints (score_sde-style NCSN++/DDPM/NCSNv2 zoo,
+models/ncsnpp.py, models/ddpm.py, models/ncsnv2.py — the converter
+dispatches on ``config.model.name``) import through
+``--continuous <config path>`` instead of --ds_name:
 
   python -m ... --ckpt_path ncsnpp.pth \\
       --continuous ve/cifar10_ncsnpp_continuous --out_dir runs/imported
@@ -26,8 +28,8 @@ from ._common import apply_overrides
 from ..config import load_config
 from ..models.registry import load_model
 from ..training import TrainState, get_optimizer, Checkpointer
-from ..utils.torch_import import (convert_ncsn_state_dict,
-                                  convert_ncsnpp_state_dict,
+from ..utils.torch_import import (convert_continuous_state_dict,
+                                  convert_ncsn_state_dict,
                                   load_torch_checkpoint)
 
 
@@ -64,14 +66,19 @@ def main(argv=None):
         module = create_model(config)
         S = config.data.image_size
         x = jnp.zeros((1, S, S, config.data.num_channels))
-        tc = jnp.ones((1,))
+        # ncsnpp/ddpm/ncsnv2_* condition on continuous time / sigma VALUES;
+        # the v1 `ncsn` conditions on integer ladder labels
+        if config.model.name in ("ncsn", "ncsn_deeper"):
+            tc = jnp.zeros((1,), jnp.int32)
+        else:
+            tc = jnp.ones((1,))
         template = jax.jit(module.init)(jax.random.PRNGKey(0), x,
                                         tc)["params"]
         torch_sd = load_torch_checkpoint(args.ckpt_path,
                                          use_ema=not args.raw_weights)
         print(f"[import] loaded {len(torch_sd)} torch tensors from "
               f"{args.ckpt_path}")
-        params = convert_ncsnpp_state_dict(torch_sd, template, config)
+        params = convert_continuous_state_dict(torch_sd, template, config)
     else:
         config = apply_overrides(load_config(args.ds_name, args.mode),
                                  args.override)

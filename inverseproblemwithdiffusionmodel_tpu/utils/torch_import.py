@@ -470,6 +470,29 @@ def _convert_indexed_state_dict(torch_sd: Dict[str, np.ndarray],
     return _unflatten(out)
 
 
+def convert_continuous_state_dict(torch_sd: Dict[str, np.ndarray],
+                                  params_template: Any, config) -> Any:
+    """Continuous-zoo converter dispatch on `config.model.name`
+    (the reference registry names, models/utils.py:27-46): ncsnpp/ddpm use
+    the all_modules-order converters; the ncsnv2_* sizes share the
+    NCSNv2-family layout (models/ncsnv2.py keeps the discrete stack's
+    attribute names res{s}/refine{r}/begin_conv/...); `ncsn` would use the
+    conditional grammar, but the reference's continuous NCSN v1 cannot be
+    constructed at all (ConditionalResidualBlock(dilation=None) hits
+    `None > 1`, models/layers.py:464 — so no reference checkpoints of it
+    exist to import)."""
+    name = config.model.name
+    if name == "ncsnpp":
+        return convert_ncsnpp_state_dict(torch_sd, params_template, config)
+    if name == "ddpm":
+        return convert_ddpm_state_dict(torch_sd, params_template, config)
+    if name.startswith("ncsnv2"):
+        return convert_ncsn_state_dict(torch_sd, params_template)
+    if name in ("ncsn", "ncsn_deeper"):
+        return convert_cond_ncsn_state_dict(torch_sd, params_template)
+    raise KeyError(f"no torch importer for continuous model {name!r}")
+
+
 # ---------------------------------------------------------------------------
 # NCSN v1 (conditional RefineNet; ncsn/models/ncsn.py, models/ncsnv2.py NCSN)
 # ---------------------------------------------------------------------------

@@ -281,3 +281,224 @@ def test_ncsn_v1_output_parity(ref):
     got = np.moveaxis(np.asarray(got), -1, 1)
     assert np.abs(want).max() > 1e-3
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-4)
+
+
+def test_ncsn_v1_deeper_output_parity(ref):
+    """NCSNdeeper - the 5-stage v1 CondRefineNet (ncsn/models/ncsn.py:
+    102-188) - under imported reference weights; pins the dilated res4/5
+    stages and the 5-refine chain through the conditional grammar."""
+    from tests.oracle_common import load_reference
+    ref_v1 = load_reference("ncsn.models.ncsn")
+    from inverseproblemwithdiffusionmodel_tpu.models.ncsn import NCSNdeeper
+    from inverseproblemwithdiffusionmodel_tpu.utils.torch_import import (
+        convert_cond_ncsn_state_dict)
+
+    NS = types.SimpleNamespace
+    cfg = NS(
+        data=NS(channels=1, image_size=32, logit_transform=False,
+                rescaled=False),
+        model=NS(ngf=8, num_classes=16, nonlinearity="elu",
+                 normalization="InstanceNorm++", spec_norm=False,
+                 sigma_begin=10.0, sigma_end=0.01, sigma_dist="geometric"),
+        device="cpu",
+    )
+    torch.manual_seed(8)
+    ref_model = ref_v1.ncsn_models_ncsn.NCSNdeeper(cfg)
+    ref_model.eval()
+
+    rng = np.random.RandomState(64)
+    x = rng.rand(2, 1, 32, 32).astype(np.float32)
+    y = np.array([5, 14], np.int64)
+
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(x), torch.from_numpy(y)).numpy()
+
+    our_model = NCSNdeeper(config=cfg)
+    x_ours = jnp.asarray(np.moveaxis(x, 1, -1))
+    template = our_model.init(jax.random.PRNGKey(0), x_ours,
+                              jnp.asarray(y))["params"]
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = convert_cond_ncsn_state_dict(sd, template)
+    got = our_model.apply({"params": params}, x_ours, jnp.asarray(y))
+    got = np.moveaxis(np.asarray(got), -1, 1)
+    assert np.abs(want).max() > 1e-3
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-4)
+
+
+def test_continuous_ncsnv2_output_parity(ref, monkeypatch):
+    """The continuous zoo's NCSNv2 (models/ncsnv2.py:44-133, registered
+    ncsnv2_64): same attribute layout as the discrete net, plus a sigmas
+    buffer indexed by integer labels and `data.centered` input semantics.
+    Imported via the shared convert_ncsn_state_dict grammar; our module
+    receives sigma VALUES (sigmas[y]).
+
+    REFERENCE DEFECT (documented, not replicated): the continuous
+    ResidualBlock builds its dilated convs via ncsn_conv3x3 with the
+    default padding=1 instead of padding=dilation (models/layers.py:
+    464-478 vs the discrete dilated_conv3x3, ncsn/models/layers.py:55-56),
+    so the dilated res3/res4 stages shrink spatially and the residual add
+    crashes for EVERY input. The forward is driven here under a shim that
+    restores the intended padding=dilation (weight shapes are unchanged);
+    our re-grown net uses the discrete stack's correct semantics."""
+    import sys
+    from tests.oracle_common import load_reference
+    ref_cv2 = load_reference("models.ncsnv2")
+    from inverseproblemwithdiffusionmodel_tpu.models.ncsnv2 import NCSNv2
+    from inverseproblemwithdiffusionmodel_tpu.utils.torch_import import (
+        convert_ncsn_state_dict)
+
+    NS = types.SimpleNamespace
+    cfg = NS(
+        data=NS(channels=1, image_size=32, centered=False),
+        model=NS(nf=8, ngf=8, nonlinearity="elu",
+                 normalization="InstanceNorm++",
+                 sigma_max=5.0, sigma_min=0.1, num_scales=12),
+        device="cpu",
+    )
+    rng = np.random.RandomState(65)
+    x = rng.rand(2, 1, 32, 32).astype(np.float32)
+    y = np.array([2, 9], np.int64)
+
+    # pin the defect: un-shimmed, the dilated stages crash on any input
+    torch.manual_seed(9)
+    broken = ref_cv2.models_ncsnv2.NCSNv2(cfg)
+    broken.eval()
+    with pytest.raises(RuntimeError), torch.no_grad():
+        broken(torch.from_numpy(x), torch.from_numpy(y))
+
+    ref_layers = sys.modules[ref_cv2.models_ncsnv2.ResidualBlock.__module__]
+    real_conv = ref_layers.ncsn_conv3x3
+
+    def fixed_conv(in_planes, out_planes, stride=1, bias=True, dilation=1,
+                   init_scale=1., padding=1):
+        return real_conv(in_planes, out_planes, stride=stride, bias=bias,
+                         dilation=dilation, init_scale=init_scale,
+                         padding=dilation if dilation > 1 else padding)
+
+    monkeypatch.setattr(ref_layers, "ncsn_conv3x3", fixed_conv)
+    torch.manual_seed(9)
+    ref_model = ref_cv2.models_ncsnv2.NCSNv2(cfg)
+    ref_model.eval()
+
+    sigmas = np.exp(np.linspace(np.log(cfg.model.sigma_max),
+                                np.log(cfg.model.sigma_min),
+                                cfg.model.num_scales)).astype(np.float32)
+
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(x), torch.from_numpy(y)).numpy()
+
+    our_model = NCSNv2(config=cfg)
+    x_ours = jnp.asarray(np.moveaxis(x, 1, -1))
+    used = jnp.asarray(sigmas[y])
+    template = our_model.init(jax.random.PRNGKey(0), x_ours,
+                              used)["params"]
+    sd = {k: v.detach().numpy() for k, v in ref_model.state_dict().items()}
+    params = convert_ncsn_state_dict(sd, template)
+    got = our_model.apply({"params": params}, x_ours, used)
+    got = np.moveaxis(np.asarray(got), -1, 1)
+    assert np.abs(want).max() > 1e-3
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-4)
+
+
+def test_continuous_ncsn_v1_reference_defect():
+    """REFERENCE DEFECT (documented, not replicated): the continuous
+    zoo's NCSN v1 (models/ncsnv2.py:135-220) cannot be constructed at all -
+    models/layers.py ConditionalResidualBlock defaults dilation=None and
+    its resample=None branch evaluates `dilation > 1` (models/layers.py:
+    464), a None/int comparison; it is also handed the UNconditional
+    InstanceNorm2dPlus (get_normalization default) whose forward takes one
+    argument. Our registered `ncsn` (ve/ncsn configs) is re-grown from the
+    discrete v1 and works."""
+    from tests.oracle_common import load_reference
+    ref_cv2 = load_reference("models.ncsnv2")
+
+    NS = types.SimpleNamespace
+    cfg = NS(
+        data=NS(channels=1, image_size=32, centered=False),
+        model=NS(nf=8, ngf=8, nonlinearity="elu",
+                 normalization="InstanceNorm++", num_classes=6,
+                 num_scales=6, sigma_max=5.0, sigma_min=0.1),
+        device="cpu",
+    )
+    with pytest.raises(TypeError):
+        ref_cv2.models_ncsnv2.NCSN(cfg)
+
+    from inverseproblemwithdiffusionmodel_tpu.configs_continuous import (
+        get_continuous_config)
+    from inverseproblemwithdiffusionmodel_tpu.models.registry import (
+        create_model)
+    config = get_continuous_config("ve/ncsn/cifar10").replace(**{
+        "model.nf": 8, "model.ngf": 8, "model.num_classes": 6,
+        "model.num_scales": 6, "data.image_size": 16})
+    module = create_model(config)
+    x = jnp.zeros((2, 16, 16, 3))
+    y = jnp.array([0, 5], jnp.int32)
+    params = module.init(jax.random.PRNGKey(0), x, y)["params"]
+    out = module.apply({"params": params}, x, y)
+    assert out.shape == x.shape and bool(jnp.isfinite(out).all())
+
+
+def test_import_cli_continuous_ddpm_roundtrip(ref, tmp_path):
+    """The --continuous CLI path for a DDPM checkpoint: the converter
+    dispatch (convert_continuous_state_dict) must route vp/ddpm configs to
+    the DDPM all_modules map, not the NCSN++ one."""
+    from tests.oracle_common import load_reference
+    ref_ddpm = load_reference("models.ddpm")
+    from inverseproblemwithdiffusionmodel_tpu.configs_continuous import (
+        get_continuous_config)
+    from inverseproblemwithdiffusionmodel_tpu.models.registry import (
+        create_model)
+    from inverseproblemwithdiffusionmodel_tpu.scripts import (
+        import_torch_checkpoint)
+    from inverseproblemwithdiffusionmodel_tpu.scripts._common import (
+        apply_overrides)
+    from inverseproblemwithdiffusionmodel_tpu.training import (
+        Checkpointer, TrainState, get_optimizer)
+
+    overrides = ["model.nf=32", "model.ch_mult=[1, 2]",
+                 "model.num_res_blocks=2", "model.attn_resolutions=[8]",
+                 "data.image_size=16"]
+    config = apply_overrides(get_continuous_config("vp/ddpm/cifar10"),
+                             overrides)
+
+    torch.manual_seed(10)
+    ref_model = ref_ddpm.models_ddpm.DDPM(config)
+    gen = torch.Generator().manual_seed(11)
+    ref_model.load_state_dict(
+        {k: torch.randn(v.shape, generator=gen) * 0.1
+         for k, v in ref_model.state_dict().items()})
+    ref_model.eval()
+
+    ckpt_path = tmp_path / "ddpm.pth"
+    torch.save(ref_model.state_dict(), str(ckpt_path))
+
+    out_dir = tmp_path / "orbax"
+    import_torch_checkpoint.main([
+        "--ckpt_path", str(ckpt_path),
+        "--continuous", "vp/ddpm/cifar10",
+        "--out_dir", str(out_dir),
+        *[f"--override={o}" for o in overrides],
+    ])
+
+    module = create_model(config)
+    S = config.data.image_size
+    x = np.random.RandomState(66).rand(
+        2, config.data.num_channels, S, S).astype(np.float32)
+    labels = np.array([7.0, 42.0], np.float32)
+
+    x_ours = jnp.asarray(np.moveaxis(x, 1, -1))
+    template = jax.jit(module.init)(jax.random.PRNGKey(0), x_ours,
+                                    jnp.asarray(labels))["params"]
+    state = TrainState.create(template, get_optimizer(config),
+                              ema_decay=0.999)
+    ckpt = Checkpointer(str(out_dir), track_best=False)
+    state = ckpt.restore(state)
+    ckpt.close()
+
+    with torch.no_grad():
+        want = ref_model(torch.from_numpy(x),
+                         torch.from_numpy(labels)).numpy()
+    got = np.moveaxis(np.asarray(module.apply(
+        {"params": state.params}, x_ours, jnp.asarray(labels))), -1, 1)
+    assert np.abs(want).max() > 1e-4
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=5e-5)
