@@ -65,15 +65,19 @@ def get_optimizer(config) -> optax.GradientTransformation:
     lr = opt.lr
     wd = opt.get("weight_decay", 0.0)
     if name == "Adam":
-        tx = optax.adamw(lr, b1=opt.get("beta1", 0.9), eps=opt.get("eps", 1e-8),
-                         weight_decay=wd) if wd else optax.adam(
-            lr, b1=opt.get("beta1", 0.9), eps=opt.get("eps", 1e-8))
+        tx = optax.adam(lr, b1=opt.get("beta1", 0.9), eps=opt.get("eps", 1e-8))
     elif name == "RMSProp":
-        tx = optax.rmsprop(lr, decay=0.9, eps=opt.get("eps", 1e-8))
+        # torch RMSprop defaults: alpha=0.99, eps OUTSIDE the sqrt
+        tx = optax.rmsprop(lr, decay=0.99, eps=opt.get("eps", 1e-8),
+                           eps_in_sqrt=False)
     elif name == "SGD":
         tx = optax.sgd(lr, momentum=0.9)
     else:
         raise NotImplementedError(f"optimizer {name} not supported")
+    if wd:
+        # torch folds weight_decay into the gradient BEFORE the moment
+        # updates (L2, not decoupled AdamW) for all three optimizers
+        tx = optax.chain(optax.add_decayed_weights(wd), tx)
     # reference configs disable clipping with grad_clip = -1 (e.g.
     # configs/ve/ncsn/cifar10.py:55) or 0
     if opt.get("grad_clip", 0.0) > 0:

@@ -12,6 +12,7 @@ from typing import List, Optional, Tuple, Union
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from .reshape import reshape_temporal_dim  # noqa: F401  (re-export convenience)
 from ..ops.resize import resize_align_corners
@@ -93,6 +94,17 @@ def denormalize(img: jnp.ndarray, a_min: float, a_max: float) -> jnp.ndarray:
 def normalize_phase(x_phase: jnp.ndarray) -> jnp.ndarray:
     """(reference: helpers/utils.py:402-410)."""
     return (x_phase - jnp.pi) / (2 * jnp.pi)
+
+
+def compute_angle(img, if_normalize: bool = False) -> np.ndarray:
+    """Phase map of a complex image, optionally min-max normalized
+    (reference: helpers/utils.py:276-285; host-side np, used by the
+    phase-figure helpers in utils/visualizations.py)."""
+    angle = np.angle(np.asarray(img))
+    if if_normalize:
+        angle = angle - angle.min()
+        angle = angle / angle.max()
+    return angle
 
 
 def get_timestamp() -> str:
