@@ -17,5 +17,6 @@ from .metrics import compute_metrics, nrmse, ssim, mae, mse, compute_snr, comput
 from .misc import stack_parts, unstack_parts
 from .metrics import nrmse_np, ssim_np, compute_snr_np
 from .dataset_stats import (max_pairwise_distance, tv_norm_histogram,
+                            norm_histogram, count_samples,
                             suggest_sigma_max)
 from .profiling import trace, annotate, timed

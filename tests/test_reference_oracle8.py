@@ -303,3 +303,79 @@ def test_compute_angle_matches_reference(ref):
                                                if_normalize=if_normalize)
         got = compute_angle(img, if_normalize=if_normalize)
         np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
+
+
+# ---------------------------------------------------------------------------
+# dataset_stats (helpers/dataset_stats.py)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def ref_stats():
+    return ref_modules(pytest, "helpers.dataset_stats")
+
+
+class _TubeDataset(torch.utils.data.Dataset):
+    """Tiny (C, L) 1-D signal dataset as the reference stats helpers expect
+    (select_at_idx returns ds[idx][0] for 'CINE*' names)."""
+
+    def __init__(self, arr):
+        self.arr = arr
+
+    def __len__(self):
+        return len(self.arr)
+
+    def __getitem__(self, i):
+        return torch.from_numpy(self.arr[i]), 0
+
+
+def test_compute_max_dist_matches_reference(ref_stats):
+    """compute_max_dist (dataset_stats.py:19-31) samples 1000 random pairs;
+    over a 12-sample dataset that visits every pair w.p. ~1-2e-7, so it
+    equals our exact Gram-matrix max."""
+    from inverseproblemwithdiffusionmodel_tpu.utils.dataset_stats import (
+        max_pairwise_distance)
+
+    rng = np.random.RandomState(92)
+    arr = rng.rand(12, 2, 16).astype(np.float32)
+    ds = _TubeDataset(arr)
+    np.random.seed(93)
+    want = ref_stats.helpers_dataset_stats.compute_max_dist(
+        ds, "CINE_tubes", max_num_pairs=1000)
+    got = max_pairwise_distance(arr)
+    np.testing.assert_allclose(got, want, rtol=1e-5)
+
+
+def test_norm_hist_matches_reference(ref_stats):
+    """compute_norm_hist (dataset_stats.py:34-75) for both registered signal
+    transforms, normalized and not; histogram counts and bin edges."""
+    from inverseproblemwithdiffusionmodel_tpu.utils.dataset_stats import (
+        norm_histogram)
+
+    rng = np.random.RandomState(94)
+    arr = rng.rand(20, 3, 16).astype(np.float32)
+    ds = _TubeDataset(arr)
+    for tfm in ("TV", "norm"):
+        for normalized in (True, False):
+            want_h, want_e, _ = ref_stats.helpers_dataset_stats.\
+                compute_norm_hist(ds, "CINE_tubes", tfm, bins=10,
+                                  normalized=normalized, if_plot=False)
+            # reference rolls dims=1 on (C, L) samples -> time_axis=2 on
+            # the stacked (N, C, L) array
+            _, (got_h, got_e) = norm_histogram(arr, tfm=tfm, bins=10,
+                                               normalized=normalized,
+                                               time_axis=2)
+            np.testing.assert_array_equal(got_h, want_h)
+            np.testing.assert_allclose(got_e, want_e, rtol=1e-5, atol=1e-7)
+
+
+def test_count_samples_matches_reference(ref_stats):
+    from inverseproblemwithdiffusionmodel_tpu.utils.dataset_stats import (
+        count_samples)
+
+    counts = np.array([3, 0, 5, 2, 7])
+    edges = np.linspace(0.0, 1.0, 6)
+    for thresh in (0.15, 0.4, 0.95, 2.0, -1.0):
+        want = ref_stats.helpers_dataset_stats.count_samples(counts, edges,
+                                                             thresh)
+        got = count_samples(counts, edges, thresh)
+        assert got == tuple(int(v) for v in want)
