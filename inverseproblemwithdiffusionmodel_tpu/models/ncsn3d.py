@@ -16,14 +16,72 @@ import flax.linen as nn
 
 from .layers import (Conv, ConvTranspose, ResidualBlock, RefineBlock,
                      get_act, centered_input)
-from .ncsnv2 import NCSNv2, _divide_by_sigmas
+from .ncsnv2 import _divide_by_sigmas
 from .normalization import get_normalization
 
 
-def NCSN3D(config) -> NCSNv2:
-    """Full-depth 3-D NCSNv2 (reference: ncsn3d.py:14-120). Uses
-    config.data.channels_3d input channels via the tube wrapper below."""
-    return NCSNv2(config=config, ndim=3)
+class NCSN3D(nn.Module):
+    """Full-depth 3-D NCSNv2 (reference: ncsn3d.py:14-120): the 4-stage
+    NCSNv2 body at ndim=3 with `config.data.channels_3d` input/output
+    channels (:28-32) and the rank-3 pixel-tube rearrange (:84,118);
+    `config.data.channels` stays kx*ky for the tube window."""
+    config: Any
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, used_sigmas: jnp.ndarray) -> jnp.ndarray:
+        cfg = self.config
+        ngf = cfg.model.ngf
+        act = get_act(cfg)
+        norm = get_normalization(cfg, conditional=False)
+        channels_3d = cfg.data.get("channels_3d", 1)
+        win = int(np.sqrt(cfg.data.channels))
+        adjust = cfg.data.image_size == 28
+
+        x_rank = x.ndim
+        if x_rank == 3:  # pixel tubes (B, T, kx*ky)
+            x = _tube_to_volume(x, win)
+
+        h = x if centered_input(cfg) else 2 * x - 1.0
+
+        def res(out_dim, resample=None, dilation=None, adjust_padding=False,
+                name=None):
+            return ResidualBlock(output_dim=out_dim, normalization=norm,
+                                 act=act, ndim=3, resample=resample,
+                                 dilation=dilation,
+                                 adjust_padding=adjust_padding, name=name)
+
+        output = Conv(features=ngf, kernel_size=3, ndim=3,
+                      name="begin_conv")(h)
+
+        layer1 = res(ngf, name="res1_0")(output)
+        layer1 = res(ngf, name="res1_1")(layer1)
+        layer2 = res(2 * ngf, resample="down", name="res2_0")(layer1)
+        layer2 = res(2 * ngf, name="res2_1")(layer2)
+        layer3 = res(2 * ngf, resample="down", dilation=2, name="res3_0")(layer2)
+        layer3 = res(2 * ngf, dilation=2, name="res3_1")(layer3)
+        layer4 = res(2 * ngf, resample="down", dilation=4,
+                     adjust_padding=adjust, name="res4_0")(layer3)
+        layer4 = res(2 * ngf, dilation=4, name="res4_1")(layer4)
+
+        sdims = lambda t: t.shape[1:4]
+        ref1 = RefineBlock(features=2 * ngf, act=act, ndim=3, start=True,
+                           name="refine1")([layer4], sdims(layer4))
+        ref2 = RefineBlock(features=2 * ngf, act=act, ndim=3,
+                           name="refine2")([layer3, ref1], sdims(layer3))
+        ref3 = RefineBlock(features=ngf, act=act, ndim=3,
+                           name="refine3")([layer2, ref2], sdims(layer2))
+        output = RefineBlock(features=ngf, act=act, ndim=3, end=True,
+                             name="refine4")([layer1, ref3], sdims(layer1))
+
+        output = norm(num_features=ngf, name="normalizer")(output)
+        output = act(output)
+        output = Conv(features=channels_3d, kernel_size=3, ndim=3,
+                      name="end_conv")(output)
+        output = _divide_by_sigmas(output, used_sigmas)
+
+        if x_rank == 3:
+            output = _volume_to_tube(output)
+        return output
 
 
 def _tube_to_volume(x: jnp.ndarray, win: int) -> jnp.ndarray:

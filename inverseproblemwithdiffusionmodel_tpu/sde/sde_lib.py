@@ -95,9 +95,14 @@ class ReverseSDE:
 def get_ddpm_params(beta_min: float = 0.1, beta_max: float = 20.0,
                     num_scales: int = 1000) -> dict:
     """Discrete DDPM schedule tensors (reference: models/utils.py:63-85):
-    betas, alphas, cumulative products and the sqrt factors samplers use."""
-    betas = np.linspace(beta_min / num_scales, beta_max / num_scales,
-                        num_scales, dtype=np.float64)
+    betas, alphas, cumulative products and the sqrt factors samplers use.
+    The ladder length is pinned at 1000 regardless of num_scales, and the
+    returned beta_min/beta_max are the start/end rates rescaled by the last
+    timestep index, exactly as the reference computes them (:63-85)."""
+    n = 1000
+    beta_start = beta_min / num_scales
+    beta_end = beta_max / num_scales
+    betas = np.linspace(beta_start, beta_end, n, dtype=np.float64)
     alphas = 1.0 - betas
     alphas_cumprod = np.cumprod(alphas)
     return {
@@ -108,8 +113,8 @@ def get_ddpm_params(beta_min: float = 0.1, beta_max: float = 20.0,
                                            jnp.float32),
         "sqrt_1m_alphas_cumprod": jnp.asarray(
             np.sqrt(1.0 - alphas_cumprod), jnp.float32),
-        "beta_min": beta_min, "beta_max": beta_max,
-        "num_diffusion_timesteps": num_scales,
+        "beta_min": beta_start * (n - 1), "beta_max": beta_end * (n - 1),
+        "num_diffusion_timesteps": n,
     }
 
 
