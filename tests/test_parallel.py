@@ -149,3 +149,66 @@ def test_shard_chain_axis_pads_indivisible_batches():
     y2 = jnp.ones((4, 5, 2))
     sharded2, n2 = shard_chain_axis(y2, mesh, axis=1)
     assert n2 == 5 and sharded2.shape == (4, 8, 2)
+
+
+def test_sharded_2d_time_matches_unsharded():
+    """Factorized 2D+time pair ALD with the chain axis sharded over the mesh
+    == unsharded. Validates the SURVEY 5 scaling design: the spatial step's
+    frame batch (B*T) and the temporal step's tube batch (B*H*W/k^2) are
+    sharded B-major over 'data'; GSPMD keeps the (B*T)<->(B,T)<->tube
+    reshapes local (chains are independent, so no cross-chain collectives)."""
+    import jax.numpy as jnp
+    from inverseproblemwithdiffusionmodel_tpu.operators import make_sense
+    from inverseproblemwithdiffusionmodel_tpu.operators.pair import (
+        PairSENSE, PairL2Penalty)
+    from inverseproblemwithdiffusionmodel_tpu.samplers import (
+        ALDConfig, ald_2d_time_pair)
+    from inverseproblemwithdiffusionmodel_tpu.samplers.sigmas import (
+        sigma_ladder)
+    from inverseproblemwithdiffusionmodel_tpu.utils.misc import stack_parts
+
+    H = W = 16
+    B, T = 8, 2
+    mesh = make_mesh()
+    sense = make_sense("exp", 2, 8, 0.1, (H, W, 1), seed=0, num_frames=1)
+    pair = PairSENSE.from_complex(sense)
+
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    base = jnp.exp(-(((yy - 8) ** 2 + (xx - 6) ** 2) / 20.0))
+    frames = jnp.stack([base * (0.8 + 0.1 * t) for t in range(T)])[..., None]
+    fr = jnp.tile(frames, (B, 1, 1, 1))            # (B*T, H, W, 1) B-major
+    yr, yi = pair(fr, jnp.zeros_like(fr))          # (S, B*T, H, W, 1)
+    sigmas = sigma_ladder(1.0, 0.01, 8)
+    sigmas_T = sigma_ladder(0.5, 0.01, 4)
+
+    def score_S(x, labels):
+        sig = sigmas[labels].reshape(-1, *([1] * (x.ndim - 1)))
+        tgt = stack_parts(jnp.broadcast_to(fr, (x.shape[0] // 2, H, W, 1)),
+                          jnp.zeros((x.shape[0] // 2, H, W, 1)))
+        return (tgt - x) / sig ** 2
+
+    def score_T(x, labels):
+        sig = sigmas[labels].reshape(-1, *([1] * (x.ndim - 1)))
+        return -x / (sig ** 2 + 10.0)
+
+    cfg = ALDConfig(n_steps_each=1, step_lr=3e-5)
+    prox = PairL2Penalty(lin_tfm=pair, num_iters=2)
+
+    @jax.jit
+    def recon(yr, yi, k):
+        return ald_2d_time_pair(score_S, score_T, sigmas, sigmas_T, (yr, yi),
+                                pair, prox, k, cfg, lr_scaled=20.0,
+                                mode_T="diffusion1d", win_size=4,
+                                num_frames=T)
+
+    key = jax.random.PRNGKey(3)
+    xr_plain, xi_plain = recon(yr, yi, key)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    chain_sh = NamedSharding(mesh, P(None, "data"))  # coil, B*T, H, W, C
+    xr_sh, xi_sh = recon(jax.device_put(yr, chain_sh),
+                         jax.device_put(yi, chain_sh), key)
+    np.testing.assert_allclose(np.asarray(xr_plain), np.asarray(xr_sh),
+                               rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xi_plain), np.asarray(xi_sh),
+                               rtol=1e-4, atol=1e-5)
