@@ -13,6 +13,7 @@ import argparse
 import os
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ..config import load_config
@@ -46,6 +47,10 @@ def main(argv=None):
     p.add_argument("--remat", action="store_true",
                    help="rematerialize forwards in backward (activation "
                         "memory savings for 256^2 training)")
+    p.add_argument("--bf16", action="store_true",
+                   help="bf16 mixed-precision network compute (master "
+                        "params/opt/EMA stay f32); ~1.3x train throughput "
+                        "at 256^2 ngf128 on v5e")
     p.add_argument("--filter_th", type=float, default=None,
                    help="TV foreground threshold for 1D tube batches "
                         "(background tubes get zero loss weight); defaults "
@@ -99,9 +104,11 @@ def main(argv=None):
     mesh = make_mesh() if args.use_mesh else None
     state = TrainState.create(params, get_optimizer(config),
                               ema_decay=config.model.get("ema_rate", 0.999))
-    step = make_score_train_step(module, sigmas, data_mode=args.mode,
-                                 anneal_power=config.training.anneal_power,
-                                 mesh=mesh, filter_th=args.filter_th, remat=args.remat)
+    step = make_score_train_step(
+        module, sigmas, data_mode=args.mode,
+        anneal_power=config.training.anneal_power,
+        mesh=mesh, filter_th=args.filter_th, remat=args.remat,
+        compute_dtype=jnp.bfloat16 if args.bf16 else None)
     eval_step = make_score_eval_step(module, sigmas, data_mode=args.mode,
                                      anneal_power=config.training.anneal_power)
 

@@ -49,6 +49,7 @@ def make_score_train_step(
     filter_th: Optional[float] = None,
     remat: bool = False,
     tp: bool = False,
+    compute_dtype: Optional[Any] = None,
 ) -> Callable[[TrainState, jnp.ndarray, jax.Array], Tuple[TrainState, jnp.ndarray]]:
     """DSM train step. For 'real-imag' modes the loss is the mean of the DSM
     losses on the real and imaginary parts (reference:
@@ -57,18 +58,30 @@ def make_score_train_step(
     filter_th: TV-norm foreground threshold for 1-D tube batches; low-TV
     (background) tubes get zero loss weight (the reference drops them,
     helpers/load_data.py:417-440).
-    remat: rematerialize the forward in the backward pass (jax.checkpoint)
-    — trades ~1 extra forward of FLOPs for activation memory, enabling
-    full-resolution (256^2 ngf128) training batches on one chip.
+    remat: rematerialize the whole forward in the backward pass
+    (jax.checkpoint). Measured on v5e at 256^2 ngf128: ~4x slower and the
+    peak barely drops (the full-graph recompute peaks like the plain
+    bwd), so prefer remat=False — B=8 real-imag fits in 16G HBM — and use
+    gradient accumulation (optax.MultiSteps) for larger effective batches.
     tp: tensor-parallel state over the mesh `model` axis — place the state
     with `parallel.shard_tp` and the batch with `parallel.shard_batch`
     before calling (see `_shard_args`).
+    compute_dtype: jnp.bfloat16 runs the forward/backward network compute
+    in bf16 (params + inputs cast in, loss and grads f32 via the cast's
+    transpose; master params, Adam state and EMA stay f32) — the standard
+    TPU mixed-precision recipe, same convention as
+    `registry.make_score_fn`.
     """
     sigmas = jnp.asarray(sigmas)
 
     def loss_fn(params, batch, key):
         def raw_score(params, x, labels):
-            return module.apply({"params": params}, x, sigmas[labels])
+            if compute_dtype is not None:
+                params = jax.tree_util.tree_map(
+                    lambda p: p.astype(compute_dtype), params)
+                x = x.astype(compute_dtype)
+            out = module.apply({"params": params}, x, sigmas[labels])
+            return out.astype(jnp.float32)
         if remat:
             raw_score = jax.checkpoint(raw_score)
 

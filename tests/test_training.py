@@ -257,3 +257,42 @@ def test_remat_train_step_matches_plain(score_setup):
     b = jax.tree_util.tree_leaves(s2.params)[0]
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
                                atol=1e-7)
+
+
+def test_bf16_mixed_precision_train_step():
+    """compute_dtype=bf16 trains: finite loss near the f32 step's, params
+    move, and master params / opt state stay f32."""
+    import optax
+    from inverseproblemwithdiffusionmodel_tpu.training import (
+        TrainState, make_score_train_step)
+    from inverseproblemwithdiffusionmodel_tpu.models.ncsnv2 import NCSNv2
+    from inverseproblemwithdiffusionmodel_tpu.config import Config
+
+    cfg = Config({"data": {"channels": 1, "image_size": 16,
+                           "logit_transform": False, "rescaled": False},
+                  "model": {"ngf": 8, "nonlinearity": "elu",
+                            "normalization": "InstanceNorm++",
+                            "sigma_begin": 5.0, "sigma_end": 0.1,
+                            "num_classes": 4, "sigma_dist": "geometric"}})
+    module = NCSNv2(config=cfg)
+    x0 = jnp.zeros((4, 16, 16, 1))
+    params = module.init(jax.random.PRNGKey(0), x0, jnp.ones((4,)))["params"]
+    sigmas = jnp.array([5.0, 2.0, 0.5, 0.1])
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 1))
+
+    losses = {}
+    for name, dt in (("f32", None), ("bf16", jnp.bfloat16)):
+        state = TrainState.create(params, optax.adam(1e-3), ema_decay=None)
+        step = make_score_train_step(module, sigmas, data_mode="real-imag",
+                                     compute_dtype=dt)
+        state2, loss = step(state, batch, jax.random.PRNGKey(2))
+        losses[name] = float(loss)
+        assert np.isfinite(losses[name])
+        moved = jax.tree_util.tree_map(
+            lambda a, b: float(jnp.abs(a - b).max()) > 0,
+            state.params, state2.params)
+        assert any(jax.tree_util.tree_leaves(moved))
+        assert all(p.dtype == jnp.float32
+                   for p in jax.tree_util.tree_leaves(state2.params))
+    # same batch, same key: bf16 loss within a few percent of f32
+    assert abs(losses["bf16"] - losses["f32"]) / losses["f32"] < 0.05
