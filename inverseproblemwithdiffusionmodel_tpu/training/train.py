@@ -40,6 +40,23 @@ def _shard_args(mesh: Optional[Mesh], tp: bool = False):
                 donate_argnums=(0,))
 
 
+def _mixed_precision_apply(module, compute_dtype):
+    """apply fn with the standard TPU mixed-precision cast: params and
+    array inputs to compute_dtype (bf16), output back to f32; grads flow to
+    the f32 master params through the cast's transpose."""
+    def apply_fn(params, *args):
+        if compute_dtype is not None:
+            params = jax.tree_util.tree_map(
+                lambda p: p.astype(compute_dtype), params)
+            args = tuple(a.astype(compute_dtype)
+                         if isinstance(a, jnp.ndarray)
+                         and jnp.issubdtype(a.dtype, jnp.floating) else a
+                         for a in args)
+        out = module.apply({"params": params}, *args)
+        return out.astype(jnp.float32)
+    return apply_fn
+
+
 def make_score_train_step(
     module,
     sigmas: jnp.ndarray,
@@ -74,14 +91,11 @@ def make_score_train_step(
     """
     sigmas = jnp.asarray(sigmas)
 
+    apply_fn = _mixed_precision_apply(module, compute_dtype)
+
     def loss_fn(params, batch, key):
         def raw_score(params, x, labels):
-            if compute_dtype is not None:
-                params = jax.tree_util.tree_map(
-                    lambda p: p.astype(compute_dtype), params)
-                x = x.astype(compute_dtype)
-            out = module.apply({"params": params}, x, sigmas[labels])
-            return out.astype(jnp.float32)
+            return apply_fn(params, x, sigmas[labels])
         if remat:
             raw_score = jax.checkpoint(raw_score)
 
@@ -121,17 +135,21 @@ def make_continuous_score_train_step(
     eps: float = 1e-5,
     reduce_mean: bool = False,
     data_mode: str = "real-valued",
+    compute_dtype=None,
 ):
     """Continuous-time DSM train step against an SDE's marginal
     (reference: helpers/pl_helpers.py:31-96 `TrainScoreModel` +
     helpers/losses.py:7-24). The raw network is conditioned per the
     sde convention (sde.get_score_fn semantics, models/utils.py:129-178).
+    compute_dtype=jnp.bfloat16 runs the network compute in bf16 (master
+    params stay f32), as in make_score_train_step.
     """
     from ..losses.dsm import continuous_dsm_loss
     from ..sde.sampling import get_score_fn
+    apply_fn = _mixed_precision_apply(module, compute_dtype)
 
     def loss_fn(params, batch, key):
-        model_fn = lambda x, cond: module.apply({"params": params}, x, cond)
+        model_fn = lambda x, cond: apply_fn(params, x, cond)
         score_fn = get_score_fn(sde, model_fn, continuous=continuous)
         key_collate, key_dsm = jax.random.split(key)
         parts = collate_batch(batch, data_mode, key_collate)
@@ -146,14 +164,16 @@ def make_continuous_score_train_step(
 
 
 def make_clf_train_step(module, sigmas: jnp.ndarray,
-                        mesh: Optional[Mesh] = None):
+                        mesh: Optional[Mesh] = None,
+                        compute_dtype=None):
     """Noise-robust classifier step (reference: helpers/pl_helpers.py:190-246,
     ncsn/losses/clf_loss.py). batch = (X, y)."""
     sigmas = jnp.asarray(sigmas)
+    apply_fn = _mixed_precision_apply(module, compute_dtype)
 
     def loss_fn(params, batch, key):
         X, y = batch
-        clf_fn = lambda x: module.apply({"params": params}, x)
+        clf_fn = lambda x: apply_fn(params, x)
         loss, logits = clf_loss_with_perturbation(clf_fn, X, y, sigmas, key)
         acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
         return loss, acc
@@ -169,14 +189,16 @@ def make_clf_train_step(module, sigmas: jnp.ndarray,
 
 def make_seg_train_step(module, sigmas: jnp.ndarray,
                         perturb: bool = False,
-                        mesh: Optional[Mesh] = None):
+                        mesh: Optional[Mesh] = None,
+                        compute_dtype=None):
     """Segmentation (DiceCE) step (reference: helpers/pl_helpers.py:264-352,
     ncsn/losses/seg_loss.py). batch = (X, y_mask)."""
     sigmas = jnp.asarray(sigmas)
+    apply_fn = _mixed_precision_apply(module, compute_dtype)
 
     def loss_fn(params, batch, key):
         X, y = batch
-        seg_fn = lambda x: module.apply({"params": params}, x)
+        seg_fn = lambda x: apply_fn(params, x)
         loss, _ = seg_loss_with_perturbation(seg_fn, X, y, sigmas, key,
                                              perturb=perturb)
         return loss

@@ -296,3 +296,48 @@ def test_bf16_mixed_precision_train_step():
                    for p in jax.tree_util.tree_leaves(state2.params))
     # same batch, same key: bf16 loss within a few percent of f32
     assert abs(losses["bf16"] - losses["f32"]) / losses["f32"] < 0.05
+
+
+def test_bf16_clf_seg_continuous_steps():
+    """compute_dtype=bf16 on the clf / seg / continuous steps: finite losses,
+    params move, master params stay f32."""
+    import optax
+    from inverseproblemwithdiffusionmodel_tpu.training import (
+        TrainState, make_clf_train_step, make_seg_train_step,
+        make_continuous_score_train_step)
+    from inverseproblemwithdiffusionmodel_tpu.models.classifier import ResNetClf
+    from inverseproblemwithdiffusionmodel_tpu.models.unet import UNet
+    from inverseproblemwithdiffusionmodel_tpu.models.simple import ScoreNet
+    from inverseproblemwithdiffusionmodel_tpu.sde import VESDE
+
+    key = jax.random.PRNGKey(0)
+    sigmas = jnp.array([2.0, 0.5])
+
+    from inverseproblemwithdiffusionmodel_tpu.config import Config
+    clf = ResNetClf(config=Config({"Clf": {"in_channels": 1, "num_cls": 3}}))
+    X = jax.random.uniform(key, (2, 16, 16, 1))
+    p = clf.init(key, X)["params"]
+    st = TrainState.create(p, optax.adam(1e-3), ema_decay=None)
+    step = make_clf_train_step(clf, sigmas, compute_dtype=jnp.bfloat16)
+    st2, loss = step(st, (X, jnp.array([0, 2])), key)
+    assert np.isfinite(float(loss))
+    assert all(q.dtype == jnp.float32
+               for q in jax.tree_util.tree_leaves(st2.params))
+
+    seg = UNet(out_channels=2, features=(8, 16), strides=(2,))
+    y = (X[..., 0] > 0.5).astype(jnp.int32)
+    p = seg.init(key, X)["params"]
+    st = TrainState.create(p, optax.adam(1e-3), ema_decay=None)
+    step = make_seg_train_step(seg, sigmas, compute_dtype=jnp.bfloat16)
+    st2, loss = step(st, (X, y), key)
+    assert np.isfinite(float(loss))
+
+    sde = VESDE()
+    net = ScoreNet(marginal_prob_std=lambda t: sde.marginal_prob(
+        jnp.zeros(()), t)[1], channels=(8, 16, 16, 16), embed_dim=16)
+    p = net.init(key, X, jnp.ones((2,)))["params"]
+    st = TrainState.create(p, optax.adam(1e-3), ema_decay=None)
+    step = make_continuous_score_train_step(net, sde,
+                                            compute_dtype=jnp.bfloat16)
+    st2, loss = step(st, X, key)
+    assert np.isfinite(float(loss))
