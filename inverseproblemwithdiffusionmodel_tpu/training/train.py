@@ -48,10 +48,10 @@ def _mixed_precision_apply(module, compute_dtype):
         if compute_dtype is not None:
             params = jax.tree_util.tree_map(
                 lambda p: p.astype(compute_dtype), params)
-            args = tuple(a.astype(compute_dtype)
-                         if isinstance(a, jnp.ndarray)
-                         and jnp.issubdtype(a.dtype, jnp.floating) else a
-                         for a in args)
+            args = tuple(
+                jnp.asarray(a).astype(compute_dtype)
+                if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a
+                for a in args)
         out = module.apply({"params": params}, *args)
         return out.astype(jnp.float32)
     return apply_fn

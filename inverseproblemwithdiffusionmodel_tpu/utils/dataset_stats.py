@@ -31,13 +31,6 @@ def max_pairwise_distance(data: np.ndarray, max_samples: int = 1024,
     return float(jnp.sqrt(jnp.maximum(d2, 0.0).max()))
 
 
-def signal_tv(x: np.ndarray, time_axis: int = 0) -> np.ndarray:
-    """Circular anisotropic TV of one sample
-    (reference: dataset_stats.py:83-90 signal_transform_TV)."""
-    x = np.asarray(x)
-    return np.abs(x - np.roll(x, -1, axis=time_axis)).sum()
-
-
 def norm_histogram(samples: np.ndarray, tfm: str = "TV", bins: int = 50,
                    normalized: bool = True, time_axis: int = 1,
                    ) -> Tuple[np.ndarray, Tuple[np.ndarray, np.ndarray]]:

@@ -188,7 +188,7 @@ def test_sharded_2d_time_matches_unsharded():
         return (tgt - x) / sig ** 2
 
     def score_T(x, labels):
-        sig = sigmas[labels].reshape(-1, *([1] * (x.ndim - 1)))
+        sig = sigmas_T[labels].reshape(-1, *([1] * (x.ndim - 1)))
         return -x / (sig ** 2 + 10.0)
 
     cfg = ALDConfig(n_steps_each=1, step_lr=3e-5)
