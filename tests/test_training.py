@@ -341,3 +341,21 @@ def test_bf16_clf_seg_continuous_steps():
                                             compute_dtype=jnp.bfloat16)
     st2, loss = step(st, X, key)
     assert np.isfinite(float(loss))
+
+
+def test_grad_accum_multisteps_state():
+    """optax.MultiSteps under TrainState: params change only every N
+    micro-steps and the accumulated update matches the mean-gradient step."""
+    import optax
+    from inverseproblemwithdiffusionmodel_tpu.training import TrainState
+
+    params = {"w": jnp.ones((3,))}
+    grads = [{"w": jnp.array([1.0, 0.0, 2.0])},
+             {"w": jnp.array([3.0, 2.0, 0.0])}]
+    tx = optax.MultiSteps(optax.sgd(0.1), every_k_schedule=2)
+    st = TrainState.create(params, tx, ema_decay=None)
+    st = st.apply_gradients(grads[0])
+    np.testing.assert_allclose(np.asarray(st.params["w"]), 1.0)  # no update yet
+    st = st.apply_gradients(grads[1])
+    want = 1.0 - 0.1 * np.array([2.0, 1.0, 1.0])  # mean grad step
+    np.testing.assert_allclose(np.asarray(st.params["w"]), want, rtol=1e-6)
