@@ -34,7 +34,7 @@ def build(name, **extra):
     "ve/cifar10_ncsnpp_continuous",
     "vp/cifar10_ddpmpp_continuous",
     "subvp/cifar10_ncsnpp_continuous",
-    "vp/cifar10_ddpm",
+    "vp/ddpm/cifar10",
 ])
 def test_forward_shapes(name):
     cfg, module, params, x, cond = build(name)
