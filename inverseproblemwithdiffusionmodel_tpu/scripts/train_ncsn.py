@@ -81,7 +81,9 @@ def main(argv=None):
     if args.train_mode == "debug":
         n_epochs, max_steps = 1, 2   # reference fast_dev_run=2
     else:
-        max_steps = None
+        # training.n_iters is the recipes' real stop criterion (the natural-
+        # image YAMLs set n_epochs to an effectively-infinite 500000)
+        max_steps = config.training.get("n_iters", None)
 
     kw = {"flatten_type": args.flatten_type}
     if args.data_root:

@@ -87,3 +87,39 @@ def test_continuous_config_leaf_matches_reference(leaf):
 
 def test_all_reference_leaves_enumerated():
     assert len(LEAVES) == 39, LEAVES
+
+
+# ---------------------------------------------------------------------------
+# discrete YAML configs (ncsn/configs/*.yml): ours must carry every
+# reference key with an equal value (we may add keys; never drop/change)
+# ---------------------------------------------------------------------------
+
+YAMLS = sorted(os.path.basename(f) for f in glob.glob(
+    os.path.join(REF_ROOT, "ncsn", "configs", "*.yml")))
+
+
+@pytest.mark.parametrize("yml", YAMLS)
+def test_discrete_yaml_superset_of_reference(yml):
+    import yaml as pyyaml
+    import inverseproblemwithdiffusionmodel_tpu as pkg
+    ours_name = yml.replace("sanity_check_1D", "sanity_check_1d")
+    ours_path = os.path.join(os.path.dirname(pkg.__file__), "configs",
+                             ours_name)
+    want = pyyaml.safe_load(open(os.path.join(
+        REF_ROOT, "ncsn", "configs", yml)))
+    got = pyyaml.safe_load(open(ours_path))
+    mismatches = []
+
+    def walk(ref_node, our_node, prefix=""):
+        if isinstance(ref_node, dict):
+            for k, v in ref_node.items():
+                if not isinstance(our_node, dict) or k not in our_node:
+                    mismatches.append((prefix + k, v, "<MISSING>"))
+                else:
+                    walk(v, our_node[k], prefix + k + ".")
+        elif ref_node != our_node:
+            mismatches.append((prefix.rstrip("."), ref_node, our_node))
+
+    walk(want, got)
+    assert not mismatches, f"{yml}: {mismatches}"
+    assert len(YAMLS) == 15
