@@ -98,7 +98,7 @@ class RandomUndersamplingFourier(LinearTransform):
         return cls(mask=jnp.asarray(m, dtype=jnp.float32))
 
 
-def _exp_sens_map(H: int, W: int, seed: int) -> np.ndarray:
+def _exp_sens_map(H: int, W: int, seed: Optional[int]) -> np.ndarray:
     """Exponential-kernel synthetic coil sensitivity anchored at a random
     pixel (reference: undersampling_fourier.py:119-138). Returns (H, W)."""
     rng = np.random.RandomState(seed)
@@ -151,7 +151,11 @@ def make_sense(sens_type: str, num_sens: int, R: int, center_lines_frac: float,
         R, center_lines_frac, in_shape, seed=seed, num_frames=num_frames,
         mask_type=mask_type)
     maps = np.stack([
-        _exp_sens_map(H, W, (seed or 0) + i) for i in range(num_sens)
+        # seed=None stays None (fresh maps per call, like the reference's
+        # un-seeded torch draws, undersampling_fourier.py:104-110); only a
+        # given seed is offset per coil
+        _exp_sens_map(H, W, None if seed is None else seed + i)
+        for i in range(num_sens)
     ], axis=0)  # (num_sens, H, W)
     norm = np.sqrt((np.abs(maps) ** 2).sum(axis=0, keepdims=True))
     maps = maps / norm

@@ -281,6 +281,25 @@ def interp_sigmas_T(sigmas_S: np.ndarray, sigmas_T: np.ndarray) -> np.ndarray:
     return out
 
 
+def interp_sigma_T_indices(sigmas_S: np.ndarray, sigmas_T: np.ndarray
+                           ) -> np.ndarray:
+    """RAW-temporal-ladder index for each spatial level: the label the
+    temporal score net receives, so `sigmas_T[indices[c]] ==
+    interp_sigmas_T(...)[c]` on active levels. This is the re-laddering the
+    reference performs by overwriting `scorenet_T.sigmas` with the
+    interpolated ladder (ALD_optimizers.py:342-346). Inactive early levels
+    (sentinel -1) map to 0 — never evaluated (the temporal step is
+    lax.cond-gated on sigma_T > 0)."""
+    sigmas_S = np.asarray(sigmas_S)
+    sigmas_T = np.asarray(sigmas_T)
+    n = int((sigmas_S <= sigmas_T[0]).sum())
+    if n == 0:
+        raise ValueError("temporal ladder entirely below the spatial ladder")
+    out = np.zeros(sigmas_S.shape, dtype=np.int32)
+    out[-n:] = (np.arange(n) * sigmas_T.shape[0] / n).astype(np.int32)
+    return out
+
+
 def ald_2d_time(
     score_fn_S: ScoreFn,
     score_fn_T: Optional[ScoreFn],
@@ -310,6 +329,11 @@ def ald_2d_time(
       temporal step - 'tv' subgradient or 1-D score over kx*ky pixel tubes
         ('diffusion1d'), with optional random spatial shift de-aliasing,
       proximal step - data consistency over all frames.
+    score_fn_T's integer labels index the RAW sigmas_T ladder (build it
+    with make_score_fn(module_T, params_T, sigmas_T)); the sampler maps
+    spatial levels onto it internally via interp_sigma_T_indices, the
+    analog of the reference overwriting scorenet_T.sigmas with the
+    interpolated ladder (ALD_optimizers.py:342-346).
     mode_T in {tv, diffusion1d, none, diffusion1d-only, tv-only}; the *-only
     modes skip the spatial step and run the full temporal ladder
     (reference: :355-361).
@@ -324,9 +348,12 @@ def ald_2d_time(
         # temporal-only ablations run the raw temporal ladder (:356-360)
         sigmas = sigmas_T
         sigmas_T_full = jnp.asarray(sigmas_T)
+        labels_T = jnp.arange(np.asarray(sigmas_T).shape[0], dtype=jnp.int32)
     else:
         sigmas_T_full = jnp.asarray(
             interp_sigmas_T(np.asarray(sigmas), np.asarray(sigmas_T)))
+        labels_T = jnp.asarray(
+            interp_sigma_T_indices(np.asarray(sigmas), np.asarray(sigmas_T)))
 
     num_sens, BT, H, W, C = measurement.shape
     T = num_frames if num_frames is not None else BT
@@ -370,7 +397,7 @@ def ald_2d_time(
             tubes = reshape_temporal_dim(frames, win_size, win_size)  # (B', T, k^2)
             step_size = (config.step_lr * (sigma_T / sigma_T_last) ** 2) * lamda_T
             stacked = stack_parts(jnp.real(tubes), jnp.imag(tubes))
-            grads = score_fn_T(stacked, _labels(stacked, c))
+            grads = score_fn_T(stacked, _labels(stacked, labels_T[c]))
             g_re, g_im = unstack_parts(grads)
             t_re = _langevin_update(jnp.real(tubes), g_re, step_size, key_re)
             t_im = _langevin_update(jnp.imag(tubes), g_im, step_size, key_im)

@@ -113,7 +113,7 @@ def ald_2d_time_pair(
     ((num_sens, B*T, H, W, C), same). Returns (xr, xi) of (B, T, H, W, C).
     """
     import numpy as np
-    from .ald import interp_sigmas_T
+    from .ald import interp_sigmas_T, interp_sigma_T_indices
     from ..operators.finite_diff import FiniteDiff
     from ..utils.reshape import reshape_temporal_dim
 
@@ -123,12 +123,16 @@ def ald_2d_time_pair(
     use_temporal_diffusion = "diffusion1d" in mode_T
     use_tv = "tv" in mode_T
 
+    # score_fn_T's labels index the RAW sigmas_T ladder (see ald.ald_2d_time)
     if skip_spatial:
         sigmas = sigmas_T
         sigmas_T_full = jnp.asarray(sigmas_T)
+        labels_T = jnp.arange(np.asarray(sigmas_T).shape[0], dtype=jnp.int32)
     else:
         sigmas_T_full = jnp.asarray(
             interp_sigmas_T(np.asarray(sigmas), np.asarray(sigmas_T)))
+        labels_T = jnp.asarray(
+            interp_sigma_T_indices(np.asarray(sigmas), np.asarray(sigmas_T)))
 
     yr, yi = measurement
     num_sens, BT, H, W, C = yr.shape
@@ -179,7 +183,7 @@ def ald_2d_time_pair(
             step_size = (config.step_lr * (sigma_T / sigma_T_last) ** 2) \
                 * lamda_T
             stacked = stack_parts(tr, ti)
-            grads = score_fn_T(stacked, _labels(stacked, c))
+            grads = score_fn_T(stacked, _labels(stacked, labels_T[c]))
             g_re, g_im = unstack_parts(grads)
             tr = _langevin_update(tr, g_re, step_size, key_re)
             ti = _langevin_update(ti, g_im, step_size, key_im)

@@ -54,7 +54,12 @@ def ald_inpainting(
 ) -> jnp.ndarray:
     """Mask-generalized inpainting ALD (reference: ncsn/models/__init__.py:86
     hardcodes "right half missing"; `known_mask` is 1 where pixels are
-    observed). Each inner step re-injects sigma-noised known pixels."""
+    observed). Each inner step re-injects sigma-noised known pixels.
+
+    NOTE: the reference inpainting loop has NO final denoise branch
+    (:86-117), unlike the unconditional sampler; config.denoise is
+    therefore ignored here — pass denoise explicitly via a trailing
+    `_denoise` call if you want one."""
     key, k_init = jax.random.split(key)
     x = jax.random.uniform(k_init, refer_image.shape) \
         if x_init is None else x_init
@@ -79,8 +84,7 @@ def ald_inpainting(
         return (x, key), None
 
     (x, key) = _scan_levels(level_step, (x, key), sigmas)
-    if config.denoise:
-        x = _denoise(score_fn, x, sigmas)
+    # no final denoise: the reference inpainting loop has none (:86-117)
     return x
 
 

@@ -169,7 +169,7 @@ def test_pair_2d_time_matches_complex(sense_pair):
         return (tgt - x) / sig ** 2
 
     def score_T(x, labels):   # weak pull to zero on tubes (B', T, k^2)
-        sig = sigmas[labels].reshape(-1, *([1] * (x.ndim - 1)))
+        sig = sigmas_T[labels].reshape(-1, *([1] * (x.ndim - 1)))
         return -x / (sig ** 2 + 10.0)
 
     from inverseproblemwithdiffusionmodel_tpu.operators import L2Penalty
@@ -267,6 +267,8 @@ def test_pair_map_2d_time_matches_complex(sense_pair):
         return (tgt - x) / sig ** 2
 
     def score_T(x, labels):
+        # MAP conditions priors at a FIXED label (reference label 1), so
+        # the spatial ladder is the right index set here
         sig = sigmas[labels].reshape(-1, *([1] * (x.ndim - 1)))
         return -x / (sig ** 2 + 10.0)
 
@@ -321,13 +323,9 @@ def test_stepped_2d_time_matches_scanned(sense_pair):
     def score_S(x, labels):
         return mod_S.apply({"params": ps}, x, sigmas[labels])
 
-    from inverseproblemwithdiffusionmodel_tpu.samplers.ald import (
-        interp_sigmas_T)
-    sT_full = jnp.asarray(interp_sigmas_T(np.asarray(sigmas),
-                                          np.asarray(sigmas_T)))
-
+    # scanned-sampler contract: labels index the RAW temporal ladder
     def score_T(x, labels):
-        return mod_T_net.apply({"params": pt}, x, sT_full[labels])
+        return mod_T_net.apply({"params": pt}, x, sigmas_T[labels])
 
     prox = PairL2Penalty(lin_tfm=pair, num_iters=3)
     cfg = ALDConfig(n_steps_each=2, step_lr=3e-5)

@@ -142,9 +142,11 @@ def test_ald_2d_time_trajectory_matches_reference(ref, monkeypatch, capsys,
     def score_fn_S(x, labels):
         return (p_s - x) / sj[labels].reshape(-1, 1, 1, 1) ** 2
 
-    ladder_T = (sigmas_T if mode_T == "diffusion1d-only"
-                else interp_sigmas_T(sigmas_S, sigmas_T))
-    lt = jnp.asarray(ladder_T)
+    # our sampler maps spatial levels onto the RAW temporal ladder
+    # internally (interp_sigma_T_indices), so the analytic score indexes
+    # sigmas_T directly — exactly how make_score_fn(module_T, ., sigmas_T)
+    # builds the production score
+    lt = jnp.asarray(sigmas_T)
     q_t = jnp.asarray(np.swapaxes(target_T, 1, 2))  # (1, T, k^2)
 
     def score_fn_T(x, labels):
