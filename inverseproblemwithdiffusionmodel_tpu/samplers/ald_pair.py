@@ -89,6 +89,96 @@ def ald_inverse_proximal_pair(
     return x_re, x_im
 
 
+def _pair_2d_time_inner(score_S, score_T, proximal, finite_diff, config,
+                        mode_T: str, if_random_shift: bool, win_size: int,
+                        sigma_last, sigma_T_last):
+    """One 2D+time micro-step on (B, T, H, W, C) pairs — spatial score,
+    temporal score/TV, proximal — shared by the scanned `ald_2d_time_pair`
+    and the host-stepped reconstructor so the two variants are the same
+    code by construction (reference semantics: ALD_optimizers.py:428-554).
+
+    Returns inner(xr, xi, yr, yi, c, label_T, sigma, sigma_T, lr_scaled,
+    lamda_T, key) -> (xr, xi, key). `c` indexes the (possibly swapped)
+    spatial ladder; `label_T` indexes score_T's RAW temporal ladder."""
+    from ..utils.reshape import reshape_temporal_dim
+
+    skip_spatial = mode_T in ("diffusion1d-only", "tv-only")
+    use_temporal_diffusion = "diffusion1d" in mode_T
+    use_tv = "tv" in mode_T
+
+    def spatial_step(xr, xi, c, sigma, key):
+        if skip_spatial:
+            return xr, xi
+        B, T, H, W, C = xr.shape
+        step_size = config.step_lr * (sigma / sigma_last) ** 2
+        fr = xr.reshape(B * T, H, W, C)
+        fi = xi.reshape(B * T, H, W, C)
+        stacked = stack_parts(fr, fi)
+        grads = score_S(stacked, _labels(stacked, c))
+        g_re, g_im = unstack_parts(grads)
+        k_re, k_im = jax.random.split(key)
+        fr = _langevin_update(fr, g_re, step_size, k_re)
+        fi = _langevin_update(fi, g_im, step_size, k_im)
+        return fr.reshape(B, T, H, W, C), fi.reshape(B, T, H, W, C)
+
+    def temporal_step(xr, xi, label_T, sigma_T, lamda_T, key):
+        if use_tv:
+            xr = xr + finite_diff.log_lh_grad(xr, lamda=lamda_T)
+            xi = xi + finite_diff.log_lh_grad(xi, lamda=lamda_T)
+            return xr, xi
+        if not use_temporal_diffusion:
+            return xr, xi
+        B, T, H, W, C = xr.shape
+
+        def do_step(args):
+            xr, xi = args
+            key_shift, key_re, key_im = jax.random.split(key, 3)
+            fr = jnp.moveaxis(xr, -1, 1).reshape(B * C, T, H, W)
+            fi = jnp.moveaxis(xi, -1, 1).reshape(B * C, T, H, W)
+            if if_random_shift:
+                sh, sw = jax.random.randint(key_shift, (2,), 0, win_size)
+                fr = jnp.roll(fr, (sh, sw), axis=(-2, -1))
+                fi = jnp.roll(fi, (sh, sw), axis=(-2, -1))
+            tr = reshape_temporal_dim(fr, win_size, win_size)
+            ti = reshape_temporal_dim(fi, win_size, win_size)
+            step_size = (config.step_lr * (sigma_T / sigma_T_last) ** 2) \
+                * lamda_T
+            stacked = stack_parts(tr, ti)
+            grads = score_T(stacked, _labels(stacked, label_T))
+            g_re, g_im = unstack_parts(grads)
+            tr = _langevin_update(tr, g_re, step_size, key_re)
+            ti = _langevin_update(ti, g_im, step_size, key_im)
+            fr = reshape_temporal_dim(tr, win_size, win_size, "backward",
+                                      img_size=(H, W))
+            fi = reshape_temporal_dim(ti, win_size, win_size, "backward",
+                                      img_size=(H, W))
+            if if_random_shift:
+                fr = jnp.roll(fr, (-sh, -sw), axis=(-2, -1))
+                fi = jnp.roll(fi, (-sh, -sw), axis=(-2, -1))
+            xr = jnp.moveaxis(fr.reshape(B, C, T, H, W), 1, -1)
+            xi = jnp.moveaxis(fi.reshape(B, C, T, H, W), 1, -1)
+            return xr, xi
+
+        return lax.cond(sigma_T > 0, do_step, lambda a: a, (xr, xi))
+
+    def proximal_step(xr, xi, yr, yi, lr_scaled):
+        B, T, H, W, C = xr.shape
+        fr = xr.reshape(B * T, H, W, C)
+        fi = xi.reshape(B * T, H, W, C)
+        fr, fi = proximal(fr, fi, yr, yi, config.step_lr * lr_scaled, 1.0)
+        return fr.reshape(B, T, H, W, C), fi.reshape(B, T, H, W, C)
+
+    def inner(xr, xi, yr, yi, c, label_T, sigma, sigma_T, lr_scaled,
+              lamda_T, key):
+        key, k_s, k_t = jax.random.split(key, 3)
+        xr, xi = spatial_step(xr, xi, c, sigma, k_s)
+        xr, xi = temporal_step(xr, xi, label_T, sigma_T, lamda_T, k_t)
+        xr, xi = proximal_step(xr, xi, yr, yi, lr_scaled)
+        return xr, xi, key
+
+    return inner
+
+
 def ald_2d_time_pair(
     score_fn_S: ScoreFn,
     score_fn_T: Optional[ScoreFn],
@@ -115,13 +205,10 @@ def ald_2d_time_pair(
     import numpy as np
     from .ald import interp_sigmas_T, interp_sigma_T_indices
     from ..operators.finite_diff import FiniteDiff
-    from ..utils.reshape import reshape_temporal_dim
 
     assert mode_T in ("tv", "diffusion1d", "none", "diffusion1d-only",
                       "tv-only")
     skip_spatial = mode_T in ("diffusion1d-only", "tv-only")
-    use_temporal_diffusion = "diffusion1d" in mode_T
-    use_tv = "tv" in mode_T
 
     # score_fn_T's labels index the RAW sigmas_T ladder (see ald.ald_2d_time)
     if skip_spatial:
@@ -147,76 +234,18 @@ def ald_2d_time_pair(
     sigma_T_last = sigmas_T_full[-1]
     L = sigmas.shape[0]
 
-    def spatial_step(xr, xi, c, sigma, key):
-        if skip_spatial:
-            return xr, xi
-        step_size = config.step_lr * (sigma / sigma_last) ** 2
-        fr = xr.reshape(B * T, H, W, C)
-        fi = xi.reshape(B * T, H, W, C)
-        stacked = stack_parts(fr, fi)
-        grads = score_fn_S(stacked, _labels(stacked, c))
-        g_re, g_im = unstack_parts(grads)
-        k_re, k_im = jax.random.split(key)
-        fr = _langevin_update(fr, g_re, step_size, k_re)
-        fi = _langevin_update(fi, g_im, step_size, k_im)
-        return fr.reshape(B, T, H, W, C), fi.reshape(B, T, H, W, C)
-
-    def temporal_step(xr, xi, c, sigma_T, key):
-        if use_tv:
-            xr = xr + finite_diff.log_lh_grad(xr, lamda=lamda_T)
-            xi = xi + finite_diff.log_lh_grad(xi, lamda=lamda_T)
-            return xr, xi
-        if not use_temporal_diffusion:
-            return xr, xi
-
-        def do_step(args):
-            xr, xi = args
-            key_shift, key_re, key_im = jax.random.split(key, 3)
-            fr = jnp.moveaxis(xr, -1, 1).reshape(B * C, T, H, W)
-            fi = jnp.moveaxis(xi, -1, 1).reshape(B * C, T, H, W)
-            if if_random_shift:
-                sh, sw = jax.random.randint(key_shift, (2,), 0, win_size)
-                fr = jnp.roll(fr, (sh, sw), axis=(-2, -1))
-                fi = jnp.roll(fi, (sh, sw), axis=(-2, -1))
-            tr = reshape_temporal_dim(fr, win_size, win_size)
-            ti = reshape_temporal_dim(fi, win_size, win_size)
-            step_size = (config.step_lr * (sigma_T / sigma_T_last) ** 2) \
-                * lamda_T
-            stacked = stack_parts(tr, ti)
-            grads = score_fn_T(stacked, _labels(stacked, labels_T[c]))
-            g_re, g_im = unstack_parts(grads)
-            tr = _langevin_update(tr, g_re, step_size, key_re)
-            ti = _langevin_update(ti, g_im, step_size, key_im)
-            fr = reshape_temporal_dim(tr, win_size, win_size, "backward",
-                                      img_size=(H, W))
-            fi = reshape_temporal_dim(ti, win_size, win_size, "backward",
-                                      img_size=(H, W))
-            if if_random_shift:
-                fr = jnp.roll(fr, (-sh, -sw), axis=(-2, -1))
-                fi = jnp.roll(fi, (-sh, -sw), axis=(-2, -1))
-            xr = jnp.moveaxis(fr.reshape(B, C, T, H, W), 1, -1)
-            xi = jnp.moveaxis(fi.reshape(B, C, T, H, W), 1, -1)
-            return xr, xi
-
-        return lax.cond(sigma_T > 0, do_step, lambda a: a, (xr, xi))
-
-    def proximal_step(xr, xi):
-        fr = xr.reshape(B * T, H, W, C)
-        fi = xi.reshape(B * T, H, W, C)
-        fr, fi = proximal(fr, fi, yr, yi, config.step_lr * lr_scaled, 1.0)
-        return fr.reshape(B, T, H, W, C), fi.reshape(B, T, H, W, C)
+    inner_fn = _pair_2d_time_inner(
+        score_fn_S, score_fn_T, proximal, finite_diff, config, mode_T,
+        if_random_shift, win_size, sigma_last, sigma_T_last)
 
     def level_step(carry, inp):
         xr, xi, key = carry
-        c, sigma, sigma_T = inp
+        c, label_T, sigma, sigma_T = inp
 
         def inner(_, state):
             xr, xi, key = state
-            key, k_s, k_t = jax.random.split(key, 3)
-            xr, xi = spatial_step(xr, xi, c, sigma, k_s)
-            xr, xi = temporal_step(xr, xi, c, sigma_T, k_t)
-            xr, xi = proximal_step(xr, xi)
-            return xr, xi, key
+            return inner_fn(xr, xi, yr, yi, c, label_T, sigma, sigma_T,
+                            lr_scaled, lamda_T, key)
 
         xr, xi, key = lax.fori_loop(0, config.n_steps_each, inner,
                                     (xr, xi, key))
@@ -225,7 +254,8 @@ def ald_2d_time_pair(
 
     (xr, xi, key), _ = lax.scan(
         level_step, (xr, xi, key),
-        (jnp.arange(L, dtype=jnp.int32), jnp.asarray(sigmas), sigmas_T_full))
+        (jnp.arange(L, dtype=jnp.int32), labels_T, jnp.asarray(sigmas),
+         sigmas_T_full))
     return xr, xi
 
 
@@ -352,107 +382,48 @@ def make_stepped_2d_time_pair_reconstructor(
     measurement pair (num_sens, B*T, H, W, C) and output (B, T, H, W, C).
     """
     import numpy as np
-    from .ald import interp_sigmas_T
+    from .ald import interp_sigmas_T, interp_sigma_T_indices
     from ..operators.finite_diff import FiniteDiff
-    from ..utils.reshape import reshape_temporal_dim
 
     assert mode_T in ("tv", "diffusion1d", "none", "diffusion1d-only",
                       "tv-only")
     skip_spatial = mode_T in ("diffusion1d-only", "tv-only")
-    use_temporal_diffusion = "diffusion1d" in mode_T
-    use_tv = "tv" in mode_T
 
+    # score_T's labels index the RAW sigmas_T ladder (see ald.ald_2d_time)
     if skip_spatial:
         sigmas = jnp.asarray(sigmas_T)
         sigmas_T_full = jnp.asarray(sigmas_T)
+        labels_T = jnp.arange(np.asarray(sigmas_T).shape[0], dtype=jnp.int32)
     else:
         sigmas = jnp.asarray(sigmas)
         sigmas_T_full = jnp.asarray(
             interp_sigmas_T(np.asarray(sigmas), np.asarray(sigmas_T)))
+        labels_T = jnp.asarray(
+            interp_sigma_T_indices(np.asarray(sigmas), np.asarray(sigmas_T)))
+    sigmas_T_raw = jnp.asarray(sigmas_T)
     sigma_last = sigmas[-1]
     sigma_T_last = sigmas_T_full[-1]
     L = int(sigmas.shape[0])
     finite_diff = FiniteDiff(dims=1)
 
     @jax.jit
-    def level_step(params_S, params_T, xr, xi, yr, yi, c, sigma, sigma_T,
-                   lr_scaled_t, lamda_T_t, key):
-        B, T, H, W, C = xr.shape
-
+    def level_step(params_S, params_T, xr, xi, yr, yi, c, label_T, sigma,
+                   sigma_T, lr_scaled_t, lamda_T_t, key):
         def score_S(x, labels):
             return module_S.apply({"params": params_S}, x, sigmas[labels])
 
         def score_T(x, labels):
             return module_T.apply({"params": params_T}, x,
-                                  sigmas_T_full[labels])
+                                  sigmas_T_raw[labels])
 
-        def spatial_step(xr, xi, key):
-            if skip_spatial:
-                return xr, xi
-            step_size = config.step_lr * (sigma / sigma_last) ** 2
-            fr = xr.reshape(B * T, H, W, C)
-            fi = xi.reshape(B * T, H, W, C)
-            stacked = stack_parts(fr, fi)
-            grads = score_S(stacked, _labels(stacked, c))
-            g_re, g_im = unstack_parts(grads)
-            k_re, k_im = jax.random.split(key)
-            fr = _langevin_update(fr, g_re, step_size, k_re)
-            fi = _langevin_update(fi, g_im, step_size, k_im)
-            return fr.reshape(B, T, H, W, C), fi.reshape(B, T, H, W, C)
-
-        def temporal_step(xr, xi, key):
-            if use_tv:
-                xr = xr + finite_diff.log_lh_grad(xr, lamda=lamda_T_t)
-                xi = xi + finite_diff.log_lh_grad(xi, lamda=lamda_T_t)
-                return xr, xi
-            if not use_temporal_diffusion:
-                return xr, xi
-
-            def do_step(args):
-                xr, xi = args
-                key_shift, key_re, key_im = jax.random.split(key, 3)
-                fr = jnp.moveaxis(xr, -1, 1).reshape(B * C, T, H, W)
-                fi = jnp.moveaxis(xi, -1, 1).reshape(B * C, T, H, W)
-                if if_random_shift:
-                    sh, sw = jax.random.randint(key_shift, (2,), 0, win_size)
-                    fr = jnp.roll(fr, (sh, sw), axis=(-2, -1))
-                    fi = jnp.roll(fi, (sh, sw), axis=(-2, -1))
-                tr = reshape_temporal_dim(fr, win_size, win_size)
-                ti = reshape_temporal_dim(fi, win_size, win_size)
-                step_size = (config.step_lr * (sigma_T / sigma_T_last) ** 2) \
-                    * lamda_T_t
-                stacked = stack_parts(tr, ti)
-                grads = score_T(stacked, _labels(stacked, c))
-                g_re, g_im = unstack_parts(grads)
-                tr = _langevin_update(tr, g_re, step_size, key_re)
-                ti = _langevin_update(ti, g_im, step_size, key_im)
-                fr = reshape_temporal_dim(tr, win_size, win_size, "backward",
-                                          img_size=(H, W))
-                fi = reshape_temporal_dim(ti, win_size, win_size, "backward",
-                                          img_size=(H, W))
-                if if_random_shift:
-                    fr = jnp.roll(fr, (-sh, -sw), axis=(-2, -1))
-                    fi = jnp.roll(fi, (-sh, -sw), axis=(-2, -1))
-                xr = jnp.moveaxis(fr.reshape(B, C, T, H, W), 1, -1)
-                xi = jnp.moveaxis(fi.reshape(B, C, T, H, W), 1, -1)
-                return xr, xi
-
-            return lax.cond(sigma_T > 0, do_step, lambda a: a, (xr, xi))
-
-        def proximal_step(xr, xi):
-            fr = xr.reshape(B * T, H, W, C)
-            fi = xi.reshape(B * T, H, W, C)
-            fr, fi = proximal(fr, fi, yr, yi, config.step_lr * lr_scaled_t,
-                              1.0)
-            return fr.reshape(B, T, H, W, C), fi.reshape(B, T, H, W, C)
+        inner_fn = _pair_2d_time_inner(
+            score_S, score_T, proximal, finite_diff, config, mode_T,
+            if_random_shift, win_size, sigma_last, sigma_T_last)
 
         def inner(_, state):
             xr, xi, key = state
-            key, k_s, k_t = jax.random.split(key, 3)
-            xr, xi = spatial_step(xr, xi, k_s)
-            xr, xi = temporal_step(xr, xi, k_t)
-            xr, xi = proximal_step(xr, xi)
-            return xr, xi, key
+            return inner_fn(xr, xi, yr, yi, c, label_T, sigma, sigma_T,
+                            lr_scaled_t, lamda_T_t, key)
 
         return lax.fori_loop(0, config.n_steps_each, inner, (xr, xi, key))
 
@@ -468,7 +439,7 @@ def make_stepped_2d_time_pair_reconstructor(
         xi = xi.reshape(B, T, H, W, C)
         for c in range(L):
             xr, xi, key = level_step(params_S, params_T, xr, xi, yr, yi,
-                                     jnp.int32(c), sigmas[c],
+                                     jnp.int32(c), labels_T[c], sigmas[c],
                                      sigmas_T_full[c], lr_scaled_t,
                                      lamda_T_t, key)
             if (snapshot_fn is not None and config.snapshot_every > 0
