@@ -192,9 +192,18 @@ def load_image_folder(root_dir: str, mode: str = "train", size: int = 64,
         n = 2048 if mode == "train" else 256
         return ArrayDataset(
             synthetic_rgb(n, size, seed=0 if mode == "train" else 1))
-    # deterministic 95/5 train/val split over the sorted listing
-    n_val = max(1, len(files) // 20)
-    files = files[:-n_val] if mode == "train" else files[-n_val:]
+    # deterministic split over the sorted listing: last ~10% held out,
+    # second half of the holdout is test (val and test must not alias);
+    # train always keeps at least one file
+    n_hold = min(max(2, len(files) // 10), max(len(files) - 1, 0))
+    if n_hold == 0:  # single file: use it everywhere, but say so
+        _warn_synthetic(name + " (single file; no held-out split)", root_dir)
+    elif mode == "train":
+        files = files[:-n_hold]
+    else:
+        hold = files[-n_hold:]
+        half = len(hold) // 2
+        files = hold[:half] if mode == "val" else hold[half:]
     from PIL import Image
     xs = np.empty((len(files), size, size, 3), np.float32)
     for i, path in enumerate(files):
@@ -307,8 +316,6 @@ def load_cine(root_dir: Optional[str] = None, mode: str = "train",
     rH = resize_shape or H
     rW = resize_shape or W
     if (rT, rH, rW) != (Tf, H, W):
-        ds = np.stack([T.resize(v, (rH, rW), mode="bilinear")
-                       if False else v for v in ds])  # spatial handled below
         ds = np.stack([
             np.stack([T.resize(fr[None], (rH, rW))[0] for fr in vol])
             for vol in ds])

@@ -49,7 +49,7 @@ def _load():
             ctypes.c_int]
         lib.batcher_batches_per_epoch.restype = ctypes.c_int64
         lib.batcher_batches_per_epoch.argtypes = [ctypes.c_void_p]
-        lib.batcher_next.restype = ctypes.c_int
+        lib.batcher_next.restype = ctypes.c_int64
         lib.batcher_next.argtypes = [ctypes.c_void_p,
                                      ctypes.POINTER(ctypes.c_float)]
         lib.batcher_destroy.argtypes = [ctypes.c_void_p]
@@ -89,13 +89,15 @@ class NativeBatchIterator:
         self._out = np.empty((batch_size, sample_size), np.float32)
 
     def next(self) -> np.ndarray:
-        rc = self._lib.batcher_next(
+        count = self._lib.batcher_next(
             self._handle,
             self._out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)))
-        if rc != 0:
+        if count <= 0:
             raise StopIteration
-        return self._out.reshape(self.batch_size,
-                                 *self._sample_shape).copy()
+        # count < batch_size only for the drop_last=False epoch tail -
+        # a short batch, matching training.batch_iterator exactly
+        return self._out[:count].reshape(int(count),
+                                         *self._sample_shape).copy()
 
     def __iter__(self):
         return self

@@ -64,8 +64,12 @@ def continuous_dsm_loss(
     samples: jnp.ndarray,
     key: jax.Array,
     eps: float = 1e-5,
+    reduce_mean: bool = True,
 ) -> jnp.ndarray:
-    """Continuous DSM: E || s(x_t, t) + z / std ||^2 with t ~ U(eps, T)."""
+    """Continuous DSM: E || s(x_t, t) + z / std ||^2 with t ~ U(eps, T)
+    (reference: helpers/losses.py:7-24 uses the mean reduction;
+    reduce_mean=False is score_sde's 0.5 * per-sample-sum weighting, the
+    setting the VE config tree trains with)."""
     key_t, key_z = jax.random.split(key)
     t = jax.random.uniform(key_t, (samples.shape[0],), samples.dtype) * (sde.T - eps) + eps
     z = jax.random.normal(key_z, samples.shape, samples.dtype)
@@ -73,4 +77,7 @@ def continuous_dsm_loss(
     std = _expand(std, z)
     perturbed = mean + z * std
     score = score_fn(perturbed, t)
-    return jnp.mean((score + z / std) ** 2)
+    sq = (score + z / std) ** 2
+    if reduce_mean:
+        return jnp.mean(sq)
+    return jnp.mean(0.5 * jnp.sum(sq.reshape(sq.shape[0], -1), axis=-1))

@@ -53,8 +53,10 @@ struct Batcher {
 
   int64_t batches_per_epoch = 0;
 
-  // ring of prefetched buffers
+  // ring of prefetched buffers (+ per-slot sample counts: short final
+  // batches when drop_last is off)
   std::vector<std::vector<float>> slots;
+  std::vector<int64_t> slot_counts;
   std::queue<int> ready;        // filled slots, FIFO
   std::queue<int> free_slots;   // empty slots
   std::mutex mu;
@@ -78,13 +80,17 @@ struct Batcher {
     }
   }
 
-  void fill(float* out) {
-    for (int64_t b = 0; b < batch_size; ++b) {
-      if (cursor >= n_samples) {  // wrap into the next epoch
-        ++epoch;
-        cursor = 0;
-        reshuffle();
-      }
+  // Fills up to batch_size samples WITHOUT crossing an epoch boundary:
+  // with drop_last=false the final batch of an epoch is short, exactly
+  // like the numpy batch_iterator it stands in for. Returns the count.
+  int64_t fill(float* out) {
+    if (cursor >= n_samples) {  // start the next epoch
+      ++epoch;
+      cursor = 0;
+      reshuffle();
+    }
+    int64_t take = std::min(batch_size, n_samples - cursor);
+    for (int64_t b = 0; b < take; ++b) {
       const float* src = data + perm[cursor] * sample_size;
       std::memcpy(out + b * sample_size, src,
                   sizeof(float) * static_cast<size_t>(sample_size));
@@ -95,6 +101,7 @@ struct Batcher {
       cursor = 0;
       reshuffle();
     }
+    return take;
   }
 
   void run() {
@@ -107,7 +114,7 @@ struct Batcher {
         slot = free_slots.front();
         free_slots.pop();
       }
-      fill(slots[slot].data());
+      slot_counts[slot] = fill(slots[slot].data());
       {
         std::lock_guard<std::mutex> lk(mu);
         ready.push(slot);
@@ -127,6 +134,9 @@ void* batcher_create(const float* data, int64_t n_samples,
   if (n_samples <= 0 || sample_size <= 0 || batch_size <= 0 ||
       prefetch_depth <= 0)
     return nullptr;
+  // drop_last with batch_size > n would never emit a batch (and the
+  // epoch-bounded fill would spin) - reject it loudly
+  if (drop_last != 0 && batch_size > n_samples) return nullptr;
   auto* b = new Batcher();
   b->data = data;
   b->n_samples = n_samples;
@@ -139,6 +149,7 @@ void* batcher_create(const float* data, int64_t n_samples,
       b->drop_last ? n_samples / batch_size
                    : (n_samples + batch_size - 1) / batch_size;
   b->slots.resize(prefetch_depth);
+  b->slot_counts.assign(prefetch_depth, 0);
   for (int i = 0; i < prefetch_depth; ++i) {
     b->slots[i].resize(static_cast<size_t>(batch_size * sample_size));
     b->free_slots.push(i);
@@ -152,27 +163,29 @@ int64_t batcher_batches_per_epoch(void* handle) {
   return static_cast<Batcher*>(handle)->batches_per_epoch;
 }
 
-// Blocks until a batch is ready; copies it into `out` (batch*sample floats)
-// and recycles the slot. Returns 0 on success.
-int batcher_next(void* handle, float* out) {
+// Blocks until a batch is ready; copies it into `out` (up to batch*sample
+// floats) and recycles the slot. Returns the number of samples in the
+// batch (< batch_size only for a drop_last=false epoch tail), or -1 on
+// shutdown.
+int64_t batcher_next(void* handle, float* out) {
   auto* b = static_cast<Batcher*>(handle);
   int slot;
   {
     std::unique_lock<std::mutex> lk(b->mu);
     b->cv_ready.wait(lk, [&] { return b->stop.load() || !b->ready.empty(); });
-    if (b->stop.load()) return 1;
+    if (b->stop.load()) return -1;
     slot = b->ready.front();
     b->ready.pop();
   }
+  int64_t count = b->slot_counts[slot];
   std::memcpy(out, b->slots[slot].data(),
-              sizeof(float) *
-                  static_cast<size_t>(b->batch_size * b->sample_size));
+              sizeof(float) * static_cast<size_t>(count * b->sample_size));
   {
     std::lock_guard<std::mutex> lk(b->mu);
     b->free_slots.push(slot);
   }
   b->cv_free.notify_one();
-  return 0;
+  return count;
 }
 
 void batcher_destroy(void* handle) {

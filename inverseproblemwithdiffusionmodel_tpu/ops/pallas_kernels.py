@@ -226,11 +226,13 @@ def downsample2x_pallas(x: jnp.ndarray, k: Optional[Sequence[float]] = None,
 # correct by construction regardless of which forward ran.
 
 def _use_pallas(x: jnp.ndarray) -> bool:
+    # shape guards FIRST: interpret mode must take the same XLA fallback
+    # for odd sizes / wrong ranks that the production dispatch takes
+    if not (x.ndim == 4 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
+        return False
     if _INTERPRET:
         return True
     if jax.default_backend() == "cpu":
-        return False
-    if not (x.ndim == 4 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0):
         return False
     # one (H, W, C) block + its 2x-upsampled output must fit VMEM (~16MB):
     # in + out + temps ~ 6 * H*W*C * 4 bytes

@@ -65,21 +65,20 @@ def run_sharded_ensemble(
     with the chain axis sharded over the mesh's data axis.
 
     sampler: (measurement_batch, key) -> recon_batch; it must treat batch
-    rows independently (all our ALD/MAP samplers do). Returns the stacked
-    reconstructions (num_samples, ...).
+    rows independently (all our ALD/MAP samplers do). Indivisible ensemble
+    sizes (e.g. the README's 105 chains on 8 devices) are padded up to a
+    multiple of the data axis via shard_chain_axis and the padding chains
+    sliced off the result. Returns the stacked reconstructions
+    (num_samples, ...).
     """
     y = repeat_measurement(measurement, num_samples, measurement_batch_axis)
-    if mesh is not None:
-        shard = data_sharding(mesh)
-        if measurement_batch_axis != 0:
-            # shard the chain axis wherever it lives
-            from jax.sharding import NamedSharding, PartitionSpec as P
-            spec = [None] * y.ndim
-            spec[measurement_batch_axis] = "data"
-            shard = NamedSharding(mesh, P(*spec))
-        y = jax.device_put(y, shard)
-        key = jax.device_put(key, replicated(mesh))
-    return sampler(y, key)
+    if mesh is None:
+        return sampler(y, key)
+    y, n = shard_chain_axis(y, mesh, axis=measurement_batch_axis)
+    key = jax.device_put(key, replicated(mesh))
+    out = sampler(y, key)
+    return jax.lax.slice_in_dim(out, 0, n, axis=0) \
+        if out.shape[0] != n else out
 
 
 def ensemble_mean_std(recons: jnp.ndarray, axis: int = 0

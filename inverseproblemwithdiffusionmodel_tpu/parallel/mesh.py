@@ -30,6 +30,11 @@ def make_mesh(n_data: Optional[int] = None, n_model: int = 1,
     """
     devices = list(devices if devices is not None else jax.devices())
     if n_data is None:
+        if len(devices) % n_model:
+            raise ValueError(
+                f"n_model={n_model} does not divide the {len(devices)} "
+                f"available devices; pass n_data explicitly to use a "
+                f"subset deliberately")
         n_data = len(devices) // n_model
     if n_data * n_model > len(devices):
         raise ValueError(

@@ -81,14 +81,24 @@ def fit(
         state = ckpt.restore(state)
         logger.log(int(state.step), resumed=1.0)
     global_step = int(state.step)
+    resumed_step = global_step
     t0 = time.time()
     stop = False
 
-    for epoch in range(cfg.n_epochs):
+    # Epochs completed across restarts: the checkpoint stores only the step
+    # count, so after the first in-session epoch (when batches/epoch is
+    # known) the counter is re-based to resumed_step // batches_per_epoch —
+    # a resumed run finishes the REMAINING epochs instead of restarting the
+    # epoch budget, and epoch-indexed hooks/artifacts keep monotonic names.
+    epoch = 0
+    batches_per_epoch = None
+    while epoch < cfg.n_epochs and not stop:
+        n_batches = 0
         for batch in train_iter_fn():
             key, k_step = jax.random.split(key)
             state, loss = train_step(state, batch, k_step)
             global_step += 1
+            n_batches += 1
             if global_step % cfg.log_every == 0:
                 loss_v = float(jax.device_get(loss))
                 logger.log(global_step, train_loss=loss_v,
@@ -98,6 +108,9 @@ def fit(
             if cfg.max_steps and global_step >= cfg.max_steps:
                 stop = True
                 break
+        if batches_per_epoch is None and n_batches > 0:
+            batches_per_epoch = n_batches
+            epoch += resumed_step // batches_per_epoch
 
         val_loss = None
         if eval_step is not None and val_iter_fn is not None:
@@ -114,8 +127,7 @@ def fit(
             ckpt.save(global_step, state, val_loss=val_loss)
         if epoch_end_hook is not None:
             epoch_end_hook(state, epoch)
-        if stop:
-            break
+        epoch += 1
 
     ckpt.close()
     logger.close()

@@ -133,14 +133,17 @@ def make_continuous_score_train_step(
     mesh: Optional[Mesh] = None,
     continuous: bool = True,
     eps: float = 1e-5,
-    reduce_mean: bool = False,
+    reduce_mean: bool = True,
     data_mode: str = "real-valued",
     compute_dtype=None,
 ):
     """Continuous-time DSM train step against an SDE's marginal
     (reference: helpers/pl_helpers.py:31-96 `TrainScoreModel` +
-    helpers/losses.py:7-24). The raw network is conditioned per the
-    sde convention (sde.get_score_fn semantics, models/utils.py:129-178).
+    helpers/losses.py:7-24, which always uses the MEAN reduction — the
+    default here; reduce_mean=False selects score_sde's 0.5*per-sample-sum
+    weighting, what `config.training.reduce_mean=False` recipes mean).
+    The raw network is conditioned per the sde convention
+    (sde.get_score_fn semantics, models/utils.py:129-178).
     compute_dtype=jnp.bfloat16 runs the network compute in bf16 (master
     params stay f32), as in make_score_train_step.
     """
@@ -154,7 +157,8 @@ def make_continuous_score_train_step(
         key_collate, key_dsm = jax.random.split(key)
         parts = collate_batch(batch, data_mode, key_collate)
         x = stack_parts(*parts) if isinstance(parts, list) else parts
-        return continuous_dsm_loss(score_fn, sde, x, key_dsm, eps=eps)
+        return continuous_dsm_loss(score_fn, sde, x, key_dsm, eps=eps,
+                                   reduce_mean=reduce_mean)
 
     def step(state: TrainState, batch, key: jax.Array):
         loss, grads = jax.value_and_grad(loss_fn)(state.params, batch, key)

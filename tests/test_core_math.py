@@ -78,7 +78,11 @@ def test_image_folder_loader_reads_files(tmp_path):
         Image.fromarray(arr).save(tmp_path / f"im{i}.png")
     tr = load_image_folder(str(tmp_path), mode="train", size=8)
     va = load_image_folder(str(tmp_path), mode="val", size=8)
-    assert tr.data.shape == (3, 8, 8, 3) and va.data.shape == (1, 8, 8, 3)
+    te = load_image_folder(str(tmp_path), mode="test", size=8)
+    # 2-file holdout split into disjoint val/test halves
+    assert tr.data.shape == (2, 8, 8, 3)
+    assert va.data.shape == (1, 8, 8, 3) and te.data.shape == (1, 8, 8, 3)
+    assert not np.array_equal(va.data, te.data)
 
 
 def test_lh_weights_ramp():

@@ -43,12 +43,18 @@ def test_shuffle_changes_order_and_seed_reproducible():
     assert not np.array_equal(a[:, 0], np.sort(a[:, 0]))
 
 
-def test_drop_last_false_wraps():
+def test_drop_last_false_short_tail():
+    """drop_last=False yields a SHORT final batch covering each sample
+    exactly once per epoch (the numpy batch_iterator semantics) - no
+    wrap-around padding from the next epoch."""
     data = np.arange(10, dtype=np.float32).reshape(5, 2)
     it = NativeBatchIterator(data, 2, shuffle=False, drop_last=False, seed=0)
     assert it.batches_per_epoch == 3
     seen = [it.next() for _ in range(3)]
-    assert all(s.shape == (2, 2) for s in seen)
+    assert [s.shape for s in seen] == [(2, 2), (2, 2), (1, 2)]
+    np.testing.assert_array_equal(np.concatenate(seen), data)
+    # next epoch starts fresh with a full batch
+    assert it.next().shape == (2, 2)
     it.close()
 
 

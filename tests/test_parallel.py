@@ -212,3 +212,23 @@ def test_sharded_2d_time_matches_unsharded():
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(xi_plain), np.asarray(xi_sh),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_run_sharded_ensemble_indivisible_count():
+    """The README's 105-chain ensemble on an 8-device mesh: padded to the
+    data axis internally, padding chains sliced off the result."""
+    mesh = make_mesh()
+    measurement = jnp.ones((1, 4, 4)) * 2.0
+
+    @jax.jit
+    def sampler(y, key):
+        keys = ensemble_keys(key, y.shape[0])
+        noise = jax.vmap(lambda k, row: jax.random.normal(k, row.shape))(
+            keys, y)
+        return y + 0.01 * noise
+
+    out = run_sharded_ensemble(sampler, measurement, 105,
+                               jax.random.PRNGKey(0), mesh=mesh)
+    assert out.shape == (105, 4, 4)
+    mean, std = ensemble_mean_std(out)
+    np.testing.assert_allclose(np.asarray(mean), 2.0, atol=0.05)
