@@ -448,7 +448,8 @@ def load_data(ds_name: str, mode: str = "train", **kwargs) -> ArrayDataset:
     if ds_name in ("CINE64", "CINE127"):
         root = kwargs.pop("root_dir", REGISTERED_DATA_ROOT_DIR[ds_name])
         size = 64 if ds_name == "CINE64" else 127
-        return load_cine(root_dir=root, mode=mode, flatten_type="spatial",
+        kwargs.setdefault("flatten_type", "spatial")
+        return load_cine(root_dir=root, mode=mode,
                          default_size=(25, 24, size), **kwargs)
     if ds_name in ("CINE64_1D", "CINE127_1D"):
         root = kwargs.pop("root_dir", REGISTERED_DATA_ROOT_DIR[ds_name])
@@ -456,7 +457,8 @@ def load_data(ds_name: str, mode: str = "train", **kwargs) -> ArrayDataset:
         kwargs.setdefault("win_size", 8)
         kwargs.setdefault("resize_shape", 128 if size == 127 else 64)
         kwargs.setdefault("resize_shape_T", 24)
-        return load_cine(root_dir=root, mode=mode, flatten_type="temporal",
+        kwargs.setdefault("flatten_type", "temporal")
+        return load_cine(root_dir=root, mode=mode,
                          default_size=(25, 24, size), **kwargs)
     if ds_name == "ACDC":
         return load_acdc(mode=mode, **kwargs)

@@ -18,10 +18,9 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..config import Config, load_config
-from ..models.registry import load_model, make_score_fn, make_apply_fn
-from ..samplers.sigmas import get_sigmas
-from ..training import TrainState, get_optimizer, Checkpointer
+from ..config import Config
+from ..models.registry import load_model
+from ..training import Checkpointer
 from ..utils.misc import get_timestamp
 
 
@@ -51,25 +50,20 @@ def reload_model(config: Config, task_name: str,
     pipelines stay runnable end-to-end."""
     module, params = load_model(config, task_name)
     if ckpt_dir and os.path.isdir(ckpt_dir):
-        state = TrainState.create(params, get_optimizer(config),
-                                  ema_decay=0.999)
+        # structure-agnostic params-only restore: works for checkpoints
+        # written with EMA off (clf/seg trainers) or with a wrapped
+        # optimizer (--grad_accum MultiSteps), unlike a full-TrainState
+        # template restore
         ckpt = Checkpointer(ckpt_dir, track_best=False)
-        state = ckpt.restore(state)
+        loaded, step = ckpt.restore_params(use_ema=use_ema)
         ckpt.close()
-        params = state.eval_params if use_ema else state.params
+        params = jax.tree_util.tree_map(jnp.asarray, loaded)
         print(f"[reload_model] {task_name}: restored step "
-              f"{int(state.step)} from {ckpt_dir}")
+              f"{step} from {ckpt_dir}")
     else:
         print(f"[reload_model] WARNING: no checkpoint for {task_name} "
               f"(ckpt_dir={ckpt_dir!r}); using FRESH random weights")
     return module, params
-
-
-def build_score_fn(config: Config, task_name: str,
-                   ckpt_dir: Optional[str] = None, mode: str = "recons"):
-    module, params = reload_model(config, task_name, ckpt_dir)
-    sigmas = get_sigmas(config, mode if "recons" in config else "unconditioned")
-    return make_score_fn(module, params, sigmas), sigmas
 
 
 def add_common_args(parser):

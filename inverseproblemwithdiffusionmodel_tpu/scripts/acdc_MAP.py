@@ -15,7 +15,7 @@ from ._common import apply_overrides, add_common_args, save_artifacts, reload_mo
 from ..config import load_config
 from ..data import load_data
 from ..models.registry import make_score_fn
-from ..operators import UndersamplingFourier, RandomUndersamplingFourier
+from ..operators import UndersamplingFourier
 from ..samplers import MAPConfig, map_optimizer
 from ..samplers.sigmas import get_sigmas
 from ..utils.misc import add_phase
@@ -41,7 +41,6 @@ def run_map(args, lin_tfm_factory):
 
     module, params = reload_model(config, "Diffusion", args.ckpt_dir)
     sigmas = get_sigmas(config, "recons")
-    score_fn = make_score_fn(module, params, sigmas)
 
     cfg = MAPConfig(n_iters=args.n_iters or config.MAP.n_iters,
                     lr=args.lr or config.MAP.lr)

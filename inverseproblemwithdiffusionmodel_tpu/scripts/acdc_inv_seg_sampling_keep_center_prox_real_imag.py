@@ -16,7 +16,7 @@ import numpy as np
 from ._common import apply_overrides, add_common_args, save_artifacts, reload_model
 from ..config import load_config
 from ..data import load_data
-from ..models.registry import make_score_fn, make_apply_fn
+from ..models.registry import make_score_fn
 from ..operators import RandomUndersamplingFourier, get_proximal
 from ..parallel import repeat_measurement
 from ..samplers import (ALDConfig, ald_inverse_seg_proximal_real_imag,
@@ -65,7 +65,6 @@ def main(argv=None):
 
     module, params = reload_model(config, "Diffusion", args.ckpt_dir)
     sigmas = get_sigmas(config, "recons")
-    score_fn = make_score_fn(module, params, sigmas)
 
     use_seg = args.seg_start_time < 1.0
     seg_module, seg_params, seg_label_b = None, 0, None
@@ -79,18 +78,21 @@ def main(argv=None):
     y_b = repeat_measurement(measurement, args.num_samples)
     proximal = get_proximal(args.proximal)(lin_tfm=lin_tfm)
 
-    # params enter through the jit boundary (closed-over param pytrees
-    # would be inlined as constants into the lowered HLO)
+    # params AND the seg-label batch enter through the jit boundary
+    # (closed-over pytrees/arrays would be inlined as HLO constants —
+    # slow lowering, remote-compile aborts, and unshardable labels;
+    # cf. acdc_SENSE_real_img.py)
     @jax.jit
-    def recon_fn(p, sp, y, k):
+    def recon_fn(p, sp, y, seg_lbl, k):
         sfn = make_score_fn(module, p, sigmas)
         gfn = (lambda x: seg_module.apply({"params": sp}, x)) if use_seg else None
         return ald_inverse_seg_proximal_real_imag(
             sfn, sigmas, y, lin_tfm, proximal, k, cfg,
-            lr_scaled=args.lr_scaled, seg_fn=gfn, seg_label=seg_label_b,
+            lr_scaled=args.lr_scaled, seg_fn=gfn, seg_label=seg_lbl,
             seg_lamda=args.lamda, seg_start_time=args.seg_start_time)
 
-    recons = jax.device_get(recon_fn(params, seg_params, y_b, k_run))
+    recons = jax.device_get(
+        recon_fn(params, seg_params, y_b, seg_label_b, k_run))
 
     mean_mag = np.abs(recons).mean(axis=0)
     truth_mag = np.abs(np.asarray(x_true[0]))

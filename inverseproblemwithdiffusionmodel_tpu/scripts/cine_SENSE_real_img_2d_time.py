@@ -105,11 +105,16 @@ def main(argv=None):
             win_size=args.win_size, num_frames=T)
 
     t0 = time.time()
-    recons = jax.block_until_ready(
-        recon_fn(params_S, params_T, measurement, k_run))
+    recons = recon_fn(params_S, params_T, measurement, k_run)
+    # sync via a device->host scalar fetch (block_until_ready is not a
+    # trustworthy sync on remote-dispatch backends — see CLAUDE.md); the
+    # wall time INCLUDES the one-off XLA compile, so this is an end-to-end
+    # figure, not the steady-state rate (bench.py measures that)
+    _ = float(jnp.abs(recons).sum())
     wall = time.time() - t0
-    print(f"2D+time recon wall-clock: {wall:.2f}s "
-          f"({sigmas_S.shape[0] * cfg.n_steps_each / wall:.2f} ALD steps/s)")
+    print(f"2D+time recon wall-clock (incl. compile): {wall:.2f}s "
+          f"({sigmas_S.shape[0] * cfg.n_steps_each / wall:.2f} ALD "
+          f"steps/s end-to-end; steady-state throughput: bench.py)")
 
     mag = np.abs(np.asarray(recons[0]))        # (T, s, s, 1)
     truth = np.abs(np.asarray(x_true))

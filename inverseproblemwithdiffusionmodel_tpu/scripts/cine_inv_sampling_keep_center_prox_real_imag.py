@@ -55,7 +55,6 @@ def main(argv=None):
 
     module, params = reload_model(config, "Diffusion", args.ckpt_dir)
     sigmas = get_sigmas(config, "recons")
-    score_fn = make_score_fn(module, params, sigmas)
 
     cfg = ALDConfig(n_steps_each=config.sampling.n_steps_each,
                     step_lr=config.sampling.step_lr)

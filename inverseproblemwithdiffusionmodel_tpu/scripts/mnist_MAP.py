@@ -48,7 +48,6 @@ def main(argv=None):
     module, params = reload_model(config, "Diffusion", args.ckpt_dir)
     sigmas = get_sigmas(config, "recons" if "recons" in config
                         else "unconditioned")
-    score_fn = make_score_fn(module, params, sigmas)
 
     cfg = MAPConfig(n_iters=args.n_iters or config.MAP.n_iters,
                     lr=args.lr or config.MAP.lr)

@@ -16,7 +16,7 @@ import numpy as np
 from ._common import apply_overrides, add_common_args, save_artifacts, reload_model
 from ..config import load_config
 from ..data import load_data
-from ..models.registry import make_score_fn, make_apply_fn
+from ..models.registry import make_score_fn
 from ..operators import UndersamplingFourier
 from ..parallel import repeat_measurement
 from ..samplers import (ALDConfig, ald_inverse_clf,
@@ -51,9 +51,7 @@ def main(argv=None):
 
     module, params = reload_model(config, "Diffusion", args.ckpt_dir)
     sigmas = get_sigmas(config)
-    score_fn = make_score_fn(module, params, sigmas)
     clf_module, clf_params = reload_model(config, "Clf", args.clf_ckpt_dir)
-    clf_fn = make_apply_fn(clf_module, clf_params)
 
     cfg = ALDConfig(n_steps_each=config.sampling.n_steps_each,
                     step_lr=config.sampling.step_lr)

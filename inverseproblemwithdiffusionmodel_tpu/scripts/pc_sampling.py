@@ -18,9 +18,9 @@ import numpy as np
 
 from ._common import save_artifacts
 from ..configs_continuous import get_continuous_config, make_sde
-from ..models import NCSNpp, DDPM
+from ..models.registry import create_model
 from ..sde import get_sampling_fn, get_score_fn
-from ..training import TrainState, get_optimizer, Checkpointer
+from ..training import Checkpointer
 
 
 def main(argv=None):
@@ -43,23 +43,29 @@ def main(argv=None):
     if args.method:
         config = config.replace(**{"sampling.method": args.method})
 
-    module = (DDPM if config.model.name == "ddpm" else NCSNpp)(config=config)
+    # registry dispatch (like import_torch_checkpoint): covers ncsnpp/ddpm
+    # AND the discrete-zoo names the config tree registers (ncsn,
+    # ncsn_deeper, ncsnv2_64/128/256)
+    module = create_model(config)
     sde = make_sde(config)
     s = config.data.image_size
     shape = (args.num_samples, s, s, config.data.num_channels)
     x0 = jnp.zeros((1, s, s, config.data.num_channels))
-    cond0 = (jnp.zeros((1,)) if config.model.embedding_type == "positional"
-             else jnp.ones((1,)))
+    if config.model.name in ("ncsn", "ncsn_deeper"):
+        cond0 = jnp.zeros((1,), jnp.int32)   # v1: integer ladder labels
+    elif config.model.get("embedding_type") == "positional":
+        cond0 = jnp.zeros((1,))
+    else:
+        cond0 = jnp.ones((1,))
     params = jax.jit(module.init)(jax.random.PRNGKey(args.seed), x0,
                                   cond0)["params"]
     if args.ckpt_dir:
-        state = TrainState.create(params, get_optimizer(config),
-                                  ema_decay=config.model.ema_rate)
+        # params-only, structure-agnostic (see _common.reload_model)
         ckpt = Checkpointer(args.ckpt_dir, track_best=False)
-        state = ckpt.restore(state)
+        loaded, step = ckpt.restore_params(use_ema=True)
         ckpt.close()
-        params = state.eval_params
-        print(f"restored step {int(state.step)} from {args.ckpt_dir}")
+        params = jax.tree_util.tree_map(jnp.asarray, loaded)
+        print(f"restored step {step} from {args.ckpt_dir}")
     else:
         print("WARNING: sampling with FRESH random weights (no --ckpt_dir)")
 

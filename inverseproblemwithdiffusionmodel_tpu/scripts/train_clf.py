@@ -30,7 +30,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     config = load_config(args.ds_name)
-    batch_size = args.batch_size or config.training.get("seg_batch_size", 64)
+    batch_size = args.batch_size or config.training.get("clf_batch_size", 64)
     n_epochs = args.n_epochs or 10
     max_steps = 2 if args.train_mode == "debug" else None
 

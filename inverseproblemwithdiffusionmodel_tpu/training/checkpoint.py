@@ -53,6 +53,29 @@ class Checkpointer:
         return self.manager.restore(step,
                                     args=ocp.args.StandardRestore(target))
 
+    def restore_params(self, step: Optional[int] = None,
+                       use_ema: bool = True):
+        """Structure-agnostic restore of just the (EMA) params: reads the
+        raw saved pytree with NO TrainState template, so checkpoints
+        written with a different optimizer wrapping (optax.MultiSteps) or
+        without EMA tracking (clf/seg trainers use ema_decay=None) load
+        fine. Returns (params, step). Falls back to the raw params when
+        the checkpoint carries no EMA shadow."""
+        if step is None:
+            step = self.manager.latest_step()
+        if step is None:
+            raise FileNotFoundError("no checkpoint found")
+        raw = self.manager.restore(step)
+        params = None
+        if use_ema:
+            ema = raw.get("ema") if hasattr(raw, "get") else None
+            if ema is not None and hasattr(ema, "get"):
+                params = ema.get("params")
+        if params is None:
+            params = raw["params"]
+        saved_step = raw.get("step", step) if hasattr(raw, "get") else step
+        return params, int(saved_step)
+
     def best_step(self) -> Optional[int]:
         return self.manager.best_step()
 

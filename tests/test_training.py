@@ -359,3 +359,32 @@ def test_grad_accum_multisteps_state():
     st = st.apply_gradients(grads[1])
     want = 1.0 - 0.1 * np.array([2.0, 1.0, 1.0])  # mean grad step
     np.testing.assert_allclose(np.asarray(st.params["w"]), want, rtol=1e-6)
+
+
+def test_restore_params_structure_agnostic(tmp_path):
+    """Checkpoints written without EMA (clf/seg trainers) or with a
+    MultiSteps-wrapped optimizer restore via restore_params — the full
+    TrainState-template path raises a tree-structure mismatch for both."""
+    import optax
+    from inverseproblemwithdiffusionmodel_tpu.training import (
+        TrainState, Checkpointer)
+
+    params = {"w": jnp.arange(4.0)}
+    # no EMA
+    st = TrainState.create(params, optax.adam(1e-3), ema_decay=None)
+    ck = Checkpointer(str(tmp_path / "a"), track_best=False)
+    ck.save(3, st)
+    loaded, step = ck.restore_params(use_ema=True)   # falls back to raw
+    ck.close()
+    assert step == int(st.step)  # the state's own step counter
+    np.testing.assert_allclose(np.asarray(loaded["w"]), np.arange(4.0))
+
+    # MultiSteps optimizer + EMA
+    tx = optax.MultiSteps(optax.adam(1e-3), every_k_schedule=2)
+    st = TrainState.create(params, tx, ema_decay=0.9)
+    ck = Checkpointer(str(tmp_path / "b"), track_best=False)
+    ck.save(7, st)
+    loaded, step = ck.restore_params(use_ema=True)
+    ck.close()
+    assert step == int(st.step)
+    np.testing.assert_allclose(np.asarray(loaded["w"]), np.arange(4.0))
