@@ -183,8 +183,20 @@ def main(argv=None):
         x0 = jnp.zeros((32, S, S, 1))
         params = jax.jit(module.init)(jax.random.PRNGKey(args.seed), x0,
                                       jnp.ones((32,)))["params"]
-        params = serialization.from_bytes(params,
+        loaded = serialization.from_bytes(params,
                                           open(prior_path, "rb").read())
+        # from_bytes does NOT validate leaf shapes: a sibling prior
+        # trained at a different size/ngf (e.g. a --quick run) would load
+        # silently and corrupt the ablation - check and retrain instead
+        same = jax.tree_util.tree_all(jax.tree_util.tree_map(
+            lambda a, b: np.shape(a) == np.shape(b), params, loaded))
+        if same:
+            params = loaded
+        else:
+            log(f"saved prior at {prior_path} has mismatched shapes "
+                "(different size/ngf); retraining")
+            params = train_score_net(module, imgs, sigmas, 32, args.steps,
+                                     args.seed, "prior")
     else:
         params = train_score_net(module, imgs, sigmas, 32, args.steps,
                                  args.seed, "prior",

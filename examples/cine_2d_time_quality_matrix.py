@@ -108,8 +108,11 @@ def train_score_net(module, data, sigmas, batch, steps, seed, tag,
                 os.remove(pth)
     start = 0
     if ckpt_path and os.path.exists(ckpt_path):
+        # a checkpoint WITHOUT a fingerprint file is treated as stale (a
+        # crash between the ckpt write and the fp write must not lead to
+        # adopting an unidentified blob)
         saved_fp = (open(fp_path).read().strip()
-                    if os.path.exists(fp_path) else fp)
+                    if os.path.exists(fp_path) else "<missing>")
         if saved_fp != fp:
             log(f"{tag}: ignoring stale checkpoint (settings changed)")
         else:
@@ -139,8 +142,12 @@ def train_score_net(module, data, sigmas, batch, steps, seed, tag,
                 tmp = ckpt_path + ".tmp"
                 open(tmp, "wb").write(blob)
                 os.replace(tmp, ckpt_path)
-                if not os.path.exists(fp_path):
-                    open(fp_path, "w").write(fp)
+                # ALWAYS rewrite the fingerprint alongside the checkpoint:
+                # a stale fp from a previous run with different settings
+                # would otherwise mislabel this run's checkpoint
+                tmp_fp = fp_path + ".tmp"
+                open(tmp_fp, "w").write(fp)
+                os.replace(tmp_fp, fp_path)
     return state.eval_params
 
 

@@ -63,6 +63,12 @@ def data_transform(config, X: jnp.ndarray,
         X = 2 * X - 1.0
     elif config.data.logit_transform:
         X = logit_transform(X)
+    # trailing mean subtraction when the config carries an image_mean
+    # (reference: helpers/utils.py:223-224)
+    image_mean = (config.get("image_mean")
+                  if hasattr(config, "get") else None)
+    if image_mean is not None:
+        X = X - jnp.asarray(image_mean)[None, ...]
     return X
 
 
@@ -190,11 +196,21 @@ def filter_batch(batch: jnp.ndarray, th: float, key: Optional[jax.Array] = None,
 
 def undersample_seg_mask(label: jnp.ndarray, fraction: float,
                          key: jax.Array) -> jnp.ndarray:
-    """Randomly keep a fraction of the foreground seg pixels
-    (reference: helpers/utils.py:314-327). label: any shape of {0,1}."""
+    """Randomly keep EXACTLY max(1, int(num_foreground * fraction)) of the
+    foreground seg pixels, chosen uniformly (reference:
+    helpers/utils.py:314-327 randperm-selects that count — a per-pixel
+    Bernoulli would return an all-zero mask with high probability for
+    small masks x small fractions, silently disabling guidance).
+    label: any shape of {0,1}; jit-safe (rank-threshold formulation)."""
     assert 0.0 <= fraction <= 1.0
     flat = label.reshape(-1)
-    # keep a pixel iff it is foreground AND its uniform draw is below fraction
-    u = jax.random.uniform(key, flat.shape)
-    kept = jnp.where(flat > 0, (u <= fraction).astype(flat.dtype), 0)
+    fg = flat > 0
+    n_fg = fg.sum()
+    k = jnp.maximum(1, jnp.floor(n_fg * fraction).astype(jnp.int32))
+    # foreground pixels ranked by i.i.d. uniforms; keep the k best ranks
+    scores = jnp.where(fg, jax.random.uniform(key, flat.shape), jnp.inf)
+    order = jnp.argsort(scores)
+    ranks = jnp.zeros(flat.shape[0], jnp.int32).at[order].set(
+        jnp.arange(flat.shape[0], dtype=jnp.int32))
+    kept = ((ranks < k) & fg).astype(flat.dtype)
     return kept.reshape(label.shape)

@@ -264,3 +264,50 @@ def test_get_ddpm_params_matches_reference(num_scales):
     assert got["num_diffusion_timesteps"] == want["num_diffusion_timesteps"]
     np.testing.assert_allclose(got["beta_min"], want["beta_min"], rtol=1e-12)
     np.testing.assert_allclose(got["beta_max"], want["beta_max"], rtol=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# undersample_seg_mask count semantics (helpers/utils.py:314-327) and
+# data_transform's image_mean branch (helpers/utils.py:223-224)
+# ---------------------------------------------------------------------------
+
+def test_undersample_seg_mask_count_matches_reference():
+    """The reference keeps EXACTLY max(1, int(n_fg * fraction)) foreground
+    pixels; draws differ (torch randperm vs jax ranks) but the kept count
+    and foreground-subset property must match."""
+    ref_utils = ref_modules(pytest, "helpers.utils")
+    import jax
+    from inverseproblemwithdiffusionmodel_tpu.utils.misc import (
+        undersample_seg_mask)
+    rng = np.random.RandomState(41)
+    label = (rng.rand(1, 1, 12, 12) > 0.8).astype(np.float32)  # ~29 fg px
+    for fraction in (0.02, 0.1, 0.5, 1.0):
+        want = ref_utils.helpers_utils.undersample_seg_mask(
+            torch.from_numpy(label), fraction=fraction, seed=5).numpy()
+        got = np.asarray(undersample_seg_mask(
+            jnp.asarray(label), fraction, jax.random.PRNGKey(5)))
+        assert got.sum() == want.sum() >= 1, fraction
+        assert np.all(label[got > 0] > 0)  # kept pixels are foreground
+
+
+def test_data_transform_image_mean_matches_reference():
+    ref_utils = ref_modules(pytest, "helpers.utils")
+    from inverseproblemwithdiffusionmodel_tpu.utils.misc import (
+        data_transform)
+    from inverseproblemwithdiffusionmodel_tpu.config import Config
+    rng = np.random.RandomState(42)
+    X = rng.rand(3, 4, 4, 1).astype(np.float32)
+    mean = rng.rand(4, 4, 1).astype(np.float32)
+    ref_cfg = types.SimpleNamespace(
+        data=types.SimpleNamespace(uniform_dequantization=False,
+                                   gaussian_dequantization=False,
+                                   rescaled=True, logit_transform=False),
+        image_mean=torch.from_numpy(mean))
+    want = ref_utils.helpers_utils.data_transform(
+        ref_cfg, torch.from_numpy(X)).numpy()
+    cfg = Config({"data": {"uniform_dequantization": False,
+                           "gaussian_dequantization": False,
+                           "rescaled": True, "logit_transform": False},
+                  "image_mean": mean})
+    got = np.asarray(data_transform(cfg, jnp.asarray(X)))
+    np.testing.assert_allclose(got, want, rtol=1e-6, atol=1e-7)
