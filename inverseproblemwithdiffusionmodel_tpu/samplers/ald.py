@@ -35,7 +35,7 @@ from .sigmas import get_lh_weights
 from ..operators.base import LinearTransform
 from ..operators.proximal import Proximal
 from ..operators.finite_diff import FiniteDiff
-from ..utils.reshape import reshape_temporal_dim
+from ..utils.reshape import apply_in_tube_space
 from ..utils.misc import stack_parts, unstack_parts
 
 ScoreFn = Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]
@@ -300,6 +300,39 @@ def interp_sigma_T_indices(sigmas_S: np.ndarray, sigmas_T: np.ndarray
     return out
 
 
+def setup_2d_time_ladders(sigmas, sigmas_T, mode_T: str):
+    """Resolve the (spatial ladder, per-level temporal sigma, per-level RAW
+    temporal label) triple shared by every 2D+time sampler variant.
+
+    - '*-only' modes swap the temporal ladder in as the scan ladder
+      (reference: ALD_optimizers.py:355-361).
+    - 'diffusion1d' nearest-interpolates sigmas_T onto the tail of the
+      spatial ladder (:342-345), with sentinel -1 on inactive early levels;
+      the non-overlap guard in interp_sigmas_T applies.
+    - 'tv'/'none' never read the temporal ladder: sentinel arrays are
+      returned and the overlap guard deliberately does NOT fire (the
+      reference computes the interp unconditionally but never uses it in
+      these modes).
+    """
+    assert mode_T in ("tv", "diffusion1d", "none", "diffusion1d-only",
+                      "tv-only")
+    sigmas_np = np.asarray(sigmas)
+    sigmas_T_np = np.asarray(sigmas_T)
+    if mode_T in ("diffusion1d-only", "tv-only"):
+        scan_sigmas = jnp.asarray(sigmas_T)
+        sigmas_T_full = jnp.asarray(sigmas_T)
+        labels_T = jnp.arange(sigmas_T_np.shape[0], dtype=jnp.int32)
+    elif "diffusion1d" in mode_T:
+        scan_sigmas = jnp.asarray(sigmas)
+        sigmas_T_full = jnp.asarray(interp_sigmas_T(sigmas_np, sigmas_T_np))
+        labels_T = jnp.asarray(interp_sigma_T_indices(sigmas_np, sigmas_T_np))
+    else:
+        scan_sigmas = jnp.asarray(sigmas)
+        sigmas_T_full = jnp.full(sigmas_np.shape, -1.0, dtype=jnp.float32)
+        labels_T = jnp.zeros(sigmas_np.shape, dtype=jnp.int32)
+    return scan_sigmas, sigmas_T_full, labels_T
+
+
 def ald_2d_time(
     score_fn_S: ScoreFn,
     score_fn_T: Optional[ScoreFn],
@@ -344,16 +377,8 @@ def ald_2d_time(
     use_temporal_diffusion = "diffusion1d" in mode_T
     use_tv = "tv" in mode_T
 
-    if skip_spatial:
-        # temporal-only ablations run the raw temporal ladder (:356-360)
-        sigmas = sigmas_T
-        sigmas_T_full = jnp.asarray(sigmas_T)
-        labels_T = jnp.arange(np.asarray(sigmas_T).shape[0], dtype=jnp.int32)
-    else:
-        sigmas_T_full = jnp.asarray(
-            interp_sigmas_T(np.asarray(sigmas), np.asarray(sigmas_T)))
-        labels_T = jnp.asarray(
-            interp_sigma_T_indices(np.asarray(sigmas), np.asarray(sigmas_T)))
+    sigmas, sigmas_T_full, labels_T = setup_2d_time_ladders(
+        sigmas, sigmas_T, mode_T)
 
     num_sens, BT, H, W, C = measurement.shape
     T = num_frames if num_frames is not None else BT
@@ -389,23 +414,20 @@ def ald_2d_time(
 
         def do_step(x):
             key_shift, key_re, key_im = jax.random.split(key, 3)
-            # merge channels into batch: (B, T, H, W, C) -> (B*C, T, H, W)
-            frames = jnp.moveaxis(x, -1, 1).reshape(B * C, T, H, W)
-            if if_random_shift:
-                sh, sw = jax.random.randint(key_shift, (2,), 0, win_size)
-                frames = jnp.roll(frames, (sh, sw), axis=(-2, -1))
-            tubes = reshape_temporal_dim(frames, win_size, win_size)  # (B', T, k^2)
             step_size = (config.step_lr * (sigma_T / sigma_T_last) ** 2) * lamda_T
-            stacked = stack_parts(jnp.real(tubes), jnp.imag(tubes))
-            grads = score_fn_T(stacked, _labels(stacked, labels_T[c]))
-            g_re, g_im = unstack_parts(grads)
-            t_re = _langevin_update(jnp.real(tubes), g_re, step_size, key_re)
-            t_im = _langevin_update(jnp.imag(tubes), g_im, step_size, key_im)
-            frames = reshape_temporal_dim(t_re + 1j * t_im, win_size, win_size,
-                                          "backward", img_size=(H, W))
-            if if_random_shift:
-                frames = jnp.roll(frames, (-sh, -sw), axis=(-2, -1))
-            return jnp.moveaxis(frames.reshape(B, C, T, H, W), 1, -1)
+
+            def tube_update(tubes):  # (B', T, k^2)
+                stacked = stack_parts(jnp.real(tubes), jnp.imag(tubes))
+                grads = score_fn_T(stacked, _labels(stacked, labels_T[c]))
+                g_re, g_im = unstack_parts(grads)
+                t_re = _langevin_update(jnp.real(tubes), g_re, step_size, key_re)
+                t_im = _langevin_update(jnp.imag(tubes), g_im, step_size, key_im)
+                return (t_re + 1j * t_im,)
+
+            (out,) = apply_in_tube_space(tube_update, (x,), win_size,
+                                         key=key_shift,
+                                         if_random_shift=if_random_shift)
+            return out
 
         # sentinel -1: temporal ladder not active yet (:466-467)
         return lax.cond(sigma_T > 0, do_step, lambda x: x, x)

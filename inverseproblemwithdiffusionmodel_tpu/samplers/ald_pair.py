@@ -33,6 +33,7 @@ def ald_inverse_proximal_pair(
     seg_label: Optional[jnp.ndarray] = None,
     seg_lamda: float = 1.0,
     seg_start_time: float = 1.0,
+    seg_step_type: str = "linear",
     seg_mode: str = "full",
     snapshot_fn: Optional[Callable] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
@@ -43,7 +44,7 @@ def ald_inverse_proximal_pair(
     x_re, x_im = lin_tfm.conj_op(yr, yi)
     sigma_last = sigmas[-1]
     L = sigmas.shape[0]
-    lh_weights = get_lh_weights(sigmas, seg_start_time, "linear")
+    lh_weights = get_lh_weights(sigmas, seg_start_time, seg_step_type)
     use_seg = seg_fn is not None
     if use_seg:
         from .ald import compute_seg_grad
@@ -100,7 +101,7 @@ def _pair_2d_time_inner(score_S, score_T, proximal, finite_diff, config,
     Returns inner(xr, xi, yr, yi, c, label_T, sigma, sigma_T, lr_scaled,
     lamda_T, key) -> (xr, xi, key). `c` indexes the (possibly swapped)
     spatial ladder; `label_T` indexes score_T's RAW temporal ladder."""
-    from ..utils.reshape import reshape_temporal_dim
+    from ..utils.reshape import apply_in_tube_space
 
     skip_spatial = mode_T in ("diffusion1d-only", "tv-only")
     use_temporal_diffusion = "diffusion1d" in mode_T
@@ -128,36 +129,23 @@ def _pair_2d_time_inner(score_S, score_T, proximal, finite_diff, config,
             return xr, xi
         if not use_temporal_diffusion:
             return xr, xi
-        B, T, H, W, C = xr.shape
 
         def do_step(args):
             xr, xi = args
             key_shift, key_re, key_im = jax.random.split(key, 3)
-            fr = jnp.moveaxis(xr, -1, 1).reshape(B * C, T, H, W)
-            fi = jnp.moveaxis(xi, -1, 1).reshape(B * C, T, H, W)
-            if if_random_shift:
-                sh, sw = jax.random.randint(key_shift, (2,), 0, win_size)
-                fr = jnp.roll(fr, (sh, sw), axis=(-2, -1))
-                fi = jnp.roll(fi, (sh, sw), axis=(-2, -1))
-            tr = reshape_temporal_dim(fr, win_size, win_size)
-            ti = reshape_temporal_dim(fi, win_size, win_size)
             step_size = (config.step_lr * (sigma_T / sigma_T_last) ** 2) \
                 * lamda_T
-            stacked = stack_parts(tr, ti)
-            grads = score_T(stacked, _labels(stacked, label_T))
-            g_re, g_im = unstack_parts(grads)
-            tr = _langevin_update(tr, g_re, step_size, key_re)
-            ti = _langevin_update(ti, g_im, step_size, key_im)
-            fr = reshape_temporal_dim(tr, win_size, win_size, "backward",
-                                      img_size=(H, W))
-            fi = reshape_temporal_dim(ti, win_size, win_size, "backward",
-                                      img_size=(H, W))
-            if if_random_shift:
-                fr = jnp.roll(fr, (-sh, -sw), axis=(-2, -1))
-                fi = jnp.roll(fi, (-sh, -sw), axis=(-2, -1))
-            xr = jnp.moveaxis(fr.reshape(B, C, T, H, W), 1, -1)
-            xi = jnp.moveaxis(fi.reshape(B, C, T, H, W), 1, -1)
-            return xr, xi
+
+            def tube_update(tr, ti):  # (B', T, k^2) pairs
+                stacked = stack_parts(tr, ti)
+                grads = score_T(stacked, _labels(stacked, label_T))
+                g_re, g_im = unstack_parts(grads)
+                return (_langevin_update(tr, g_re, step_size, key_re),
+                        _langevin_update(ti, g_im, step_size, key_im))
+
+            return apply_in_tube_space(tube_update, (xr, xi), win_size,
+                                       key=key_shift,
+                                       if_random_shift=if_random_shift)
 
         return lax.cond(sigma_T > 0, do_step, lambda a: a, (xr, xi))
 
@@ -202,24 +190,12 @@ def ald_2d_time_pair(
     measurement/operators as (re, im) float32 pairs. measurement:
     ((num_sens, B*T, H, W, C), same). Returns (xr, xi) of (B, T, H, W, C).
     """
-    import numpy as np
-    from .ald import interp_sigmas_T, interp_sigma_T_indices
+    from .ald import setup_2d_time_ladders
     from ..operators.finite_diff import FiniteDiff
 
-    assert mode_T in ("tv", "diffusion1d", "none", "diffusion1d-only",
-                      "tv-only")
-    skip_spatial = mode_T in ("diffusion1d-only", "tv-only")
-
     # score_fn_T's labels index the RAW sigmas_T ladder (see ald.ald_2d_time)
-    if skip_spatial:
-        sigmas = sigmas_T
-        sigmas_T_full = jnp.asarray(sigmas_T)
-        labels_T = jnp.arange(np.asarray(sigmas_T).shape[0], dtype=jnp.int32)
-    else:
-        sigmas_T_full = jnp.asarray(
-            interp_sigmas_T(np.asarray(sigmas), np.asarray(sigmas_T)))
-        labels_T = jnp.asarray(
-            interp_sigma_T_indices(np.asarray(sigmas), np.asarray(sigmas_T)))
+    sigmas, sigmas_T_full, labels_T = setup_2d_time_ladders(
+        sigmas, sigmas_T, mode_T)
 
     yr, yi = measurement
     num_sens, BT, H, W, C = yr.shape
@@ -267,6 +243,7 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
                                     seg_label: Optional[jnp.ndarray] = None,
                                     seg_lamda: float = 1.0,
                                     seg_start_time: float = 1.0,
+                                    seg_step_type: str = "linear",
                                     seg_mode: str = "full",
                                     seg_params=None,
                                     snapshot_fn: Optional[Callable] = None):
@@ -288,7 +265,7 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
     sigmas = jnp.asarray(sigmas)
     sigma_last = sigmas[-1]
     L = int(sigmas.shape[0])
-    lh_weights = get_lh_weights(sigmas, seg_start_time, "linear")
+    lh_weights = get_lh_weights(sigmas, seg_start_time, seg_step_type)
     use_seg = seg_fn is not None
     if use_seg:
         from .ald import compute_seg_grad
@@ -381,25 +358,12 @@ def make_stepped_2d_time_pair_reconstructor(
     Returns `recon(params_S, params_T, yr, yi, key) -> (xr, xi)` with
     measurement pair (num_sens, B*T, H, W, C) and output (B, T, H, W, C).
     """
-    import numpy as np
-    from .ald import interp_sigmas_T, interp_sigma_T_indices
+    from .ald import setup_2d_time_ladders
     from ..operators.finite_diff import FiniteDiff
 
-    assert mode_T in ("tv", "diffusion1d", "none", "diffusion1d-only",
-                      "tv-only")
-    skip_spatial = mode_T in ("diffusion1d-only", "tv-only")
-
     # score_T's labels index the RAW sigmas_T ladder (see ald.ald_2d_time)
-    if skip_spatial:
-        sigmas = jnp.asarray(sigmas_T)
-        sigmas_T_full = jnp.asarray(sigmas_T)
-        labels_T = jnp.arange(np.asarray(sigmas_T).shape[0], dtype=jnp.int32)
-    else:
-        sigmas = jnp.asarray(sigmas)
-        sigmas_T_full = jnp.asarray(
-            interp_sigmas_T(np.asarray(sigmas), np.asarray(sigmas_T)))
-        labels_T = jnp.asarray(
-            interp_sigma_T_indices(np.asarray(sigmas), np.asarray(sigmas_T)))
+    sigmas, sigmas_T_full, labels_T = setup_2d_time_ladders(
+        sigmas, sigmas_T, mode_T)
     sigmas_T_raw = jnp.asarray(sigmas_T)
     sigma_last = sigmas[-1]
     sigma_T_last = sigmas_T_full[-1]

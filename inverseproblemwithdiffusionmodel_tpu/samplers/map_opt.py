@@ -16,16 +16,15 @@ from __future__ import annotations
 import dataclasses
 from typing import Callable, Optional, Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 import optax
 
-from .ald import ScoreFn, _labels, interp_sigmas_T
+from .ald import ScoreFn, _labels
 from ..operators.base import LinearTransform
 from ..operators.finite_diff import FiniteDiff
-from ..utils.reshape import reshape_temporal_dim
+from ..utils.reshape import apply_in_tube_space
 from ..utils.misc import stack_parts, unstack_parts
 
 
@@ -150,19 +149,15 @@ def map_optimizer_2d_time(
             g_re = finite_diff.log_lh_grad(jnp.real(x))
             g_im = finite_diff.log_lh_grad(jnp.imag(x))
             return g_re + 1j * g_im
-        frames = jnp.moveaxis(x, -1, 1).reshape(B * C, T, H, W)
-        if if_random_shift:
-            sh, sw = jax.random.randint(key, (2,), 0, win_size)
-            frames = jnp.roll(frames, (sh, sw), axis=(-2, -1))
-        tubes = reshape_temporal_dim(frames, win_size, win_size)
-        stacked = stack_parts(jnp.real(tubes), jnp.imag(tubes))
-        grads = score_fn_T(stacked, _labels(stacked, prior_label))
-        g_re, g_im = unstack_parts(grads)
-        g = reshape_temporal_dim(g_re + 1j * g_im, win_size, win_size,
-                                 "backward", img_size=(H, W))
-        if if_random_shift:
-            g = jnp.roll(g, (-sh, -sw), axis=(-2, -1))
-        return jnp.moveaxis(g.reshape(B, C, T, H, W), 1, -1)
+        def tube_grad(tubes):
+            stacked = stack_parts(jnp.real(tubes), jnp.imag(tubes))
+            grads = score_fn_T(stacked, _labels(stacked, prior_label))
+            g_re, g_im = unstack_parts(grads)
+            return (g_re + 1j * g_im,)
+
+        (g,) = apply_in_tube_space(tube_grad, (x,), win_size, key=key,
+                                   if_random_shift=if_random_shift)
+        return g
 
     opt = optax.adam(config.lr, b1=config.b1, b2=config.b2)
     params = _to_pair(x0)

@@ -18,16 +18,15 @@ from __future__ import annotations
 
 from typing import Callable, Optional, Tuple
 
-import numpy as np
 import jax
 import jax.numpy as jnp
 from jax import lax
 import optax
 
-from .ald import ScoreFn, _labels, interp_sigmas_T
+from .ald import ScoreFn, _labels
 from .map_opt import MAPConfig, tv_norm_noncircular_pair
 from ..operators.finite_diff import FiniteDiff
-from ..utils.reshape import reshape_temporal_dim
+from ..utils.reshape import apply_in_tube_space
 from ..utils.misc import stack_parts, unstack_parts
 
 Pair = Tuple[jnp.ndarray, jnp.ndarray]
@@ -141,26 +140,13 @@ def map_optimizer_2d_time_pair(
         if mode_T == "tv":
             return (finite_diff.log_lh_grad(xr),
                     finite_diff.log_lh_grad(xi))
-        fr = jnp.moveaxis(xr, -1, 1).reshape(B * C, T, H, W)
-        fi = jnp.moveaxis(xi, -1, 1).reshape(B * C, T, H, W)
-        if if_random_shift:
-            sh, sw = jax.random.randint(key, (2,), 0, win_size)
-            fr = jnp.roll(fr, (sh, sw), axis=(-2, -1))
-            fi = jnp.roll(fi, (sh, sw), axis=(-2, -1))
-        tr = reshape_temporal_dim(fr, win_size, win_size)
-        ti = reshape_temporal_dim(fi, win_size, win_size)
-        stacked = stack_parts(tr, ti)
-        grads = score_fn_T(stacked, _labels(stacked, prior_label))
-        g_re, g_im = unstack_parts(grads)
-        g_re = reshape_temporal_dim(g_re, win_size, win_size, "backward",
-                                    img_size=(H, W))
-        g_im = reshape_temporal_dim(g_im, win_size, win_size, "backward",
-                                    img_size=(H, W))
-        if if_random_shift:
-            g_re = jnp.roll(g_re, (-sh, -sw), axis=(-2, -1))
-            g_im = jnp.roll(g_im, (-sh, -sw), axis=(-2, -1))
-        return (jnp.moveaxis(g_re.reshape(B, C, T, H, W), 1, -1),
-                jnp.moveaxis(g_im.reshape(B, C, T, H, W), 1, -1))
+        def tube_grad(tr, ti):
+            stacked = stack_parts(tr, ti)
+            grads = score_fn_T(stacked, _labels(stacked, prior_label))
+            return unstack_parts(grads)
+
+        return apply_in_tube_space(tube_grad, (xr, xi), win_size, key=key,
+                                   if_random_shift=if_random_shift)
 
     opt = optax.adam(config.lr, b1=config.b1, b2=config.b2)
     params = {"re": x0[0], "im": x0[1]}

@@ -308,3 +308,56 @@ def test_interp_sigmas_T_disjoint_ladders_raise():
     s_temporal = np.asarray(sigma_ladder(0.5, 0.01, 6))  # max < spatial min
     with pytest.raises(ValueError, match="temporal ladder"):
         interp_sigmas_T(s_spatial, s_temporal)
+
+
+def test_ald_2d_time_tv_mode_ignores_disjoint_temporal_ladder():
+    """mode_T='tv'/'none' never read sigmas_T: a placeholder temporal ladder
+    entirely below the spatial one must NOT trip the interp overlap guard
+    (the guard is for 'diffusion1d', where the temporal step would never
+    activate)."""
+    vol, op, y = _cine_setup()
+    T_frames = vol.shape[0]
+    sigmas = sigma_ladder(10.0, 1.0, 8)
+    sigmas_T = sigma_ladder(0.5, 0.01, 6)  # max < spatial min: disjoint
+    score_S = make_score_fn(vol, sigmas)
+    cfg = ALDConfig(n_steps_each=1, step_lr=3e-5)
+    out = ald_2d_time(score_S, None, sigmas, sigmas_T,
+                      y[:, :, None].reshape(2, T_frames, H, W, 1), op,
+                      L2Penalty(lin_tfm=op, num_iters=2),
+                      jax.random.PRNGKey(0), cfg, lr_scaled=10.0,
+                      mode_T="tv", win_size=4, num_frames=T_frames)
+    assert bool(jnp.all(jnp.isfinite(jnp.abs(out))))
+    # 'diffusion1d' still enforces the overlap guard
+    with pytest.raises(ValueError, match="temporal ladder"):
+        ald_2d_time(score_S, score_S, sigmas, sigmas_T,
+                    y[:, :, None].reshape(2, T_frames, H, W, 1), op,
+                    L2Penalty(lin_tfm=op, num_iters=2),
+                    jax.random.PRNGKey(0), cfg, mode_T="diffusion1d",
+                    win_size=4, num_frames=T_frames)
+
+
+def test_apply_in_tube_space_round_trip():
+    """The shared tube-space helper: identity fn == identity map (shift on
+    and off), for complex and pair inputs."""
+    from inverseproblemwithdiffusionmodel_tpu.utils.reshape import (
+        apply_in_tube_space)
+    key = jax.random.PRNGKey(3)
+    B, T, Hh, Ww, C = 2, 3, 8, 8, 1
+    xr = jax.random.normal(key, (B, T, Hh, Ww, C))
+    xi = jax.random.normal(jax.random.fold_in(key, 1), (B, T, Hh, Ww, C))
+    for shift in (False, True):
+        outs = apply_in_tube_space(lambda a, b: (a, b), (xr, xi), 4,
+                                   key=key, if_random_shift=shift)
+        np.testing.assert_allclose(np.asarray(outs[0]), np.asarray(xr),
+                                   atol=1e-6)
+        np.testing.assert_allclose(np.asarray(outs[1]), np.asarray(xi),
+                                   atol=1e-6)
+    (z,) = apply_in_tube_space(lambda t: (t,), (xr + 1j * xi,), 4,
+                               key=key, if_random_shift=True)
+    np.testing.assert_allclose(np.asarray(jnp.real(z)), np.asarray(xr),
+                               atol=1e-6)
+    # tube layout is what the temporal nets expect: (B', T, k^2)
+    seen = {}
+    apply_in_tube_space(lambda t: (seen.setdefault("shape", t.shape), t)[1:],
+                        (xr,), 4)
+    assert seen["shape"] == (B * C * (Hh // 4) * (Ww // 4), T, 16)
