@@ -66,10 +66,16 @@ def continuous_dsm_loss(
     eps: float = 1e-5,
     reduce_mean: bool = True,
 ) -> jnp.ndarray:
-    """Continuous DSM: E || s(x_t, t) + z / std ||^2 with t ~ U(eps, T)
-    (reference: helpers/losses.py:7-24 uses the mean reduction;
-    reduce_mean=False is score_sde's 0.5 * per-sample-sum weighting, the
-    setting the VE config tree trains with)."""
+    """Continuous DSM with t ~ U(eps, T).
+
+    reduce_mean=True: E || s(x_t, t) + z / std ||^2 — the reference's actual
+    training loss (helpers/losses.py:7-24, mean over features and batch;
+    note its commented-out `(score*std + Z)**2` alternative at :21).
+    reduce_mean=False: score_sde's unweighted convention the VE config tree
+    names (training.reduce_mean=False, configs/ve/*): mean over the batch of
+    0.5 * per-sample-sum of (score * std + z)^2 — i.e. the lambda(t)=sigma^2
+    weighting that makes every noise level contribute equally, NOT just a
+    different reduction of the same integrand."""
     key_t, key_z = jax.random.split(key)
     t = jax.random.uniform(key_t, (samples.shape[0],), samples.dtype) * (sde.T - eps) + eps
     z = jax.random.normal(key_z, samples.shape, samples.dtype)
@@ -77,7 +83,7 @@ def continuous_dsm_loss(
     std = _expand(std, z)
     perturbed = mean + z * std
     score = score_fn(perturbed, t)
-    sq = (score + z / std) ** 2
     if reduce_mean:
-        return jnp.mean(sq)
+        return jnp.mean((score + z / std) ** 2)
+    sq = (score * std + z) ** 2
     return jnp.mean(0.5 * jnp.sum(sq.reshape(sq.shape[0], -1), axis=-1))

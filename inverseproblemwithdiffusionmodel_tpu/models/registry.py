@@ -159,14 +159,30 @@ def make_apply_fn(module, params) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return apply_fn
 
 
-def get_model_fn(module, params, train: bool = False
+def get_model_fn(module, params, train: bool = False,
+                 dropout_key: Optional[jax.Array] = None
                  ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Raw model forward `(x, cond) -> out` (reference: models/utils.py:97's
-    train/eval switch). Flax modules here are pure functions of params —
-    there is no global train/eval mode to flip — so `train` only selects
-    stochastic-layer behavior when a module supports it (none of the ncsn
-    family does; the flag exists for API parity)."""
-    del train
+    train/eval switch). Flax modules are pure functions of params — the
+    train/eval mode is per-call: for modules whose __call__ takes a `train`
+    flag (the continuous zoo gates nn.Dropout on it) `train=True` enables
+    stochastic layers, drawing from `dropout_key` (default PRNGKey(0)).
+    Modules without the flag (the discrete ncsn family — no stochastic
+    layers) ignore `train`, as in the reference."""
+    import inspect
+    try:
+        takes_train = "train" in inspect.signature(
+            type(module).__call__).parameters
+    except (TypeError, ValueError):
+        takes_train = False
+
+    if train and takes_train:
+        key = dropout_key if dropout_key is not None else jax.random.PRNGKey(0)
+
+        def model_fn(x, cond):
+            return module.apply({"params": params}, x, cond, train=True,
+                                rngs={"dropout": key})
+        return model_fn
 
     def model_fn(x, cond):
         return module.apply({"params": params}, x, cond)
@@ -178,20 +194,20 @@ def make_tube_score_fn_3d(module, params, sigmas: jnp.ndarray, win: int
                           ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
     """Score adapter for a 3-D (2D+time) net consuming pixel-tube batches.
 
-    The 2D+time sampler feeds temporal nets (B', T, k^2) tubes; a 3-D net
-    wants (B', k, k, T, 1) volumes (reference: ncsn/models/ncsn3d.py:84,118
-    rearranges the same way inside the torch model). This wraps the reshape
-    so NCSN3D(Shallow) plugs into ald_2d_time as scorenet_T.
+    The 2D+time sampler feeds temporal nets (B', T, k^2) tubes; NCSN3D /
+    NCSN3DShallow already round-trip rank-3 inputs through the (B, k, k,
+    T, 1) volume layout internally (models/ncsn3d.py _tube_to_volume /
+    _volume_to_tube — reference: ncsn/models/ncsn3d.py:84,118 rearranges
+    inside the torch model), so this is make_score_fn plus a window check:
+    the module derives its window from config.data.channels, and a sampler
+    win_size that disagrees would silently mis-tile the tubes.
     """
-    sigmas = jnp.asarray(sigmas)
-
-    def score_fn(tubes, labels):
-        B, T, KK = tubes.shape
-        vol = tubes.transpose(0, 2, 1).reshape(B, win, win, T, 1)
-        out = module.apply({"params": params}, vol, sigmas[labels])
-        return out.reshape(B, KK, T).transpose(0, 2, 1)
-
-    return score_fn
+    cfg_channels = int(module.config.data.channels)
+    if win * win != cfg_channels:
+        raise ValueError(
+            f"win_size {win} (k^2 = {win * win}) does not match the 3-D "
+            f"net's config.data.channels = {cfg_channels}")
+    return make_score_fn(module, params, sigmas)
 
 
 def get_network(config):

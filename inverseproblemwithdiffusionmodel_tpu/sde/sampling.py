@@ -76,10 +76,8 @@ def get_score_fn(sde: SDE, model_fn: Callable[[Array, Array], Array],
                 _, std = sde.marginal_prob(jnp.zeros_like(x), t)
             else:
                 labels = t * (sde.N - 1)
-                discrete_betas = jnp.linspace(sde.beta_min / sde.N,
-                                              sde.beta_max / sde.N, sde.N)
-                alphas_cumprod = jnp.cumprod(1.0 - discrete_betas)
-                std = jnp.sqrt(1.0 - alphas_cumprod[labels.astype(jnp.int32)])
+                std = jnp.sqrt(
+                    1.0 - sde.alphas_cumprod[labels.astype(jnp.int32)])
             out = model_fn(x, labels)
             return -out / _expand(std, x)
         return score_fn
@@ -160,9 +158,7 @@ class AncestralSamplingPredictor(Predictor):
             return x_mean + _expand(std, x) * z, x_mean
         if isinstance(sde, VPSDE):
             timestep = (t * (sde.N - 1) / sde.T).astype(jnp.int32)
-            discrete_betas = jnp.linspace(sde.beta_min / sde.N,
-                                          sde.beta_max / sde.N, sde.N)
-            beta = discrete_betas[timestep]
+            beta = sde.discrete_betas[timestep]
             score = self.score_fn(x, t)
             x_mean = (x + _expand(beta, x) * score) \
                 / _expand(jnp.sqrt(1.0 - beta), x)
@@ -189,12 +185,12 @@ class Corrector:
     n_steps: int = 1
 
     def _alpha(self, t: Array) -> Array:
-        if isinstance(self.sde, VPSDE):
+        # VP AND sub-VP use the discrete alphas (score_sde semantics; the
+        # reference's subVPSDE lacks .alphas so its correctors crash on
+        # sub-VP — defect documented in PARITY.md, not replicated)
+        if isinstance(self.sde, (VPSDE, subVPSDE)):
             timestep = (t * (self.sde.N - 1) / self.sde.T).astype(jnp.int32)
-            discrete_betas = jnp.linspace(self.sde.beta_min / self.sde.N,
-                                          self.sde.beta_max / self.sde.N,
-                                          self.sde.N)
-            return 1.0 - discrete_betas[timestep]
+            return self.sde.alphas[timestep]
         return jnp.ones_like(t)
 
     def update_fn(self, key, x, t):

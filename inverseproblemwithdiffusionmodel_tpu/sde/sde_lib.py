@@ -118,8 +118,31 @@ def get_ddpm_params(beta_min: float = 0.1, beta_max: float = 20.0,
     }
 
 
+class _DiscreteBetaSchedule:
+    """DDPM beta ladder shared by VP and sub-VP (reference:
+    sde_lib.py:124-129 builds these in VPSDE.__init__; the reference's
+    subVPSDE omits them, which crashes its Langevin correctors — a
+    documented defect not replicated here). This is the single
+    authoritative spelling consumed by `discretize`, the ancestral
+    predictor, the Langevin correctors, and the discrete score
+    conversion (constant-folded under jit)."""
+
+    @property
+    def discrete_betas(self) -> Array:
+        return jnp.linspace(self.beta_min / self.N, self.beta_max / self.N,
+                            self.N)
+
+    @property
+    def alphas(self) -> Array:
+        return 1.0 - self.discrete_betas
+
+    @property
+    def alphas_cumprod(self) -> Array:
+        return jnp.cumprod(self.alphas)
+
+
 @dataclasses.dataclass(frozen=True)
-class VPSDE(SDE):
+class VPSDE(SDE, _DiscreteBetaSchedule):
     """Variance-preserving (DDPM) SDE with linear beta schedule
     (reference: sde_lib.py:112-166)."""
     beta_min: float = 0.1
@@ -156,9 +179,7 @@ class VPSDE(SDE):
     # DDPM ancestral discretization (reference: sde_lib.py:156-165)
     def discretize(self, x, t):
         timestep = (t * (self.N - 1) / self.T).astype(jnp.int32)
-        discrete_betas = jnp.linspace(self.beta_min / self.N,
-                                      self.beta_max / self.N, self.N)
-        beta = discrete_betas[timestep]
+        beta = self.discrete_betas[timestep]
         alpha = 1.0 - beta
         f = _expand(jnp.sqrt(alpha), x) * x - x
         G = jnp.sqrt(beta)
@@ -166,7 +187,7 @@ class VPSDE(SDE):
 
 
 @dataclasses.dataclass(frozen=True)
-class subVPSDE(SDE):
+class subVPSDE(SDE, _DiscreteBetaSchedule):
     """Sub-VP SDE for likelihood work (reference: sde_lib.py:167-206)."""
     beta_min: float = 0.1
     beta_max: float = 20.0

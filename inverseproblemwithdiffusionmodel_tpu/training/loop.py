@@ -82,6 +82,11 @@ def fit(
         logger.log(int(state.step), resumed=1.0)
     global_step = int(state.step)
     resumed_step = global_step
+    if resumed_step:
+        # fresh randomness after a restart: fold the restored step into the
+        # stream so a resumed run does not replay the exact noise/label
+        # draws (and batch keys) the crashed run already consumed
+        key = jax.random.fold_in(key, resumed_step)
     t0 = time.time()
     stop = False
 
@@ -108,7 +113,10 @@ def fit(
             if cfg.max_steps and global_step >= cfg.max_steps:
                 stop = True
                 break
-        if batches_per_epoch is None and n_batches > 0:
+        if batches_per_epoch is None and n_batches > 0 and not stop:
+            # rebase only off a FULL epoch: when max_steps stops the run
+            # mid-first-epoch, n_batches is a partial count and would
+            # inflate the rebased epoch index
             batches_per_epoch = n_batches
             epoch += resumed_step // batches_per_epoch
 

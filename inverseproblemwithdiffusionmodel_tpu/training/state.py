@@ -57,6 +57,17 @@ class TrainState(struct.PyTreeNode):
         return self.ema.params if self.ema is not None else self.params
 
 
+def _decay_mask(params):
+    """Weight-decay mask: True everywhere except frozen params (the
+    GaussianFourierProjection random matrix, which the reference excludes
+    from the optimizer via requires_grad=False)."""
+    def keep(path, _):
+        return not any(
+            str(getattr(k, "key", "")).startswith("GaussianFourierProjection")
+            for k in path)
+    return jax.tree_util.tree_map_with_path(keep, params)
+
+
 def get_optimizer(config) -> optax.GradientTransformation:
     """Adam / RMSProp / SGD from config.optim
     (reference: ncsn/losses/__init__.py:3-13, helpers/utils.py:194-209)."""
@@ -76,8 +87,13 @@ def get_optimizer(config) -> optax.GradientTransformation:
         raise NotImplementedError(f"optimizer {name} not supported")
     if wd:
         # torch folds weight_decay into the gradient BEFORE the moment
-        # updates (L2, not decoupled AdamW) for all three optimizers
-        tx = optax.chain(optax.add_decayed_weights(wd), tx)
+        # updates (L2, not decoupled AdamW) for all three optimizers.
+        # Frozen params are EXCLUDED: GaussianFourierProjection.W is
+        # requires_grad=False in the reference (models/layerspp.py:32-40),
+        # so torch's optimizer never decays it; stop_gradient alone only
+        # zeroes its gradient, and an unmasked decay would shrink the
+        # frozen projection every step.
+        tx = optax.chain(optax.add_decayed_weights(wd, mask=_decay_mask), tx)
     # reference configs disable clipping with grad_clip = -1 (e.g.
     # configs/ve/ncsn/cifar10.py:55) or 0
     if opt.get("grad_clip", 0.0) > 0:

@@ -44,7 +44,7 @@ def _mixed_precision_apply(module, compute_dtype):
     """apply fn with the standard TPU mixed-precision cast: params and
     array inputs to compute_dtype (bf16), output back to f32; grads flow to
     the f32 master params through the cast's transpose."""
-    def apply_fn(params, *args):
+    def apply_fn(params, *args, **kwargs):
         if compute_dtype is not None:
             params = jax.tree_util.tree_map(
                 lambda p: p.astype(compute_dtype), params)
@@ -52,9 +52,20 @@ def _mixed_precision_apply(module, compute_dtype):
                 jnp.asarray(a).astype(compute_dtype)
                 if jnp.issubdtype(jnp.asarray(a).dtype, jnp.floating) else a
                 for a in args)
-        out = module.apply({"params": params}, *args)
+        out = module.apply({"params": params}, *args, **kwargs)
         return out.astype(jnp.float32)
     return apply_fn
+
+
+def _module_takes_train(module) -> bool:
+    """Whether the module's __call__ has a `train` flag (the continuous zoo
+    nets gate nn.Dropout on it; the discrete ncsn family has no stochastic
+    layers and no flag)."""
+    import inspect
+    try:
+        return "train" in inspect.signature(type(module).__call__).parameters
+    except (TypeError, ValueError):
+        return False
 
 
 def make_score_train_step(
@@ -150,11 +161,19 @@ def make_continuous_score_train_step(
     from ..losses.dsm import continuous_dsm_loss
     from ..sde.sampling import get_score_fn
     apply_fn = _mixed_precision_apply(module, compute_dtype)
+    # the continuous zoo trains with dropout ON (torch reference runs the
+    # net in train mode, helpers/pl_helpers.py:31-96 via Lightning); Flax
+    # needs the explicit train flag + a dropout rng
+    takes_train = _module_takes_train(module)
 
     def loss_fn(params, batch, key):
-        model_fn = lambda x, cond: apply_fn(params, x, cond)
+        key_collate, key_dsm, key_drop = jax.random.split(key, 3)
+        if takes_train:
+            model_fn = lambda x, cond: apply_fn(
+                params, x, cond, train=True, rngs={"dropout": key_drop})
+        else:
+            model_fn = lambda x, cond: apply_fn(params, x, cond)
         score_fn = get_score_fn(sde, model_fn, continuous=continuous)
-        key_collate, key_dsm = jax.random.split(key)
         parts = collate_batch(batch, data_mode, key_collate)
         x = stack_parts(*parts) if isinstance(parts, list) else parts
         return continuous_dsm_loss(score_fn, sde, x, key_dsm, eps=eps,

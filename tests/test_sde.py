@@ -134,3 +134,27 @@ def test_registries():
     assert get_corrector("ald").__name__ == "AnnealedLangevinDynamics"
     with pytest.raises(KeyError):
         get_predictor("nope")
+
+
+def test_vp_discrete_beta_schedule_single_source():
+    """VPSDE/subVPSDE expose the DDPM ladder as properties (the single
+    authoritative spelling), and the Langevin corrector uses the discrete
+    alphas for BOTH VP and sub-VP (score_sde semantics; the reference's
+    subVPSDE lacks .alphas and its correctors crash — defect not
+    replicated)."""
+    from inverseproblemwithdiffusionmodel_tpu.sde.sampling import (
+        LangevinCorrector)
+    vp = VPSDE(N=10)
+    sub = subVPSDE(N=10)
+    want = np.linspace(vp.beta_min / vp.N, vp.beta_max / vp.N, vp.N)
+    np.testing.assert_allclose(np.asarray(vp.discrete_betas), want,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(sub.discrete_betas), want,
+                               rtol=1e-6)
+    t = jnp.array([0.05, 0.5, 1.0])
+    score = lambda x, tt: jnp.zeros_like(x)
+    for sde in (vp, sub):
+        corr = LangevinCorrector(sde=sde, score_fn=score)
+        got = np.asarray(corr._alpha(t))
+        timestep = (np.asarray(t) * (sde.N - 1) / sde.T).astype(int)
+        np.testing.assert_allclose(got, 1.0 - want[timestep], rtol=1e-6)

@@ -388,3 +388,120 @@ def test_restore_params_structure_agnostic(tmp_path):
     ck.close()
     assert step == int(st.step)
     np.testing.assert_allclose(np.asarray(loaded["w"]), np.arange(4.0))
+
+
+def test_weight_decay_skips_frozen_fourier_projection():
+    """L2 weight decay must not shrink the frozen GaussianFourierProjection
+    matrix (requires_grad=False in the reference): with zero gradients the
+    frozen W stays put while ordinary params decay."""
+    import optax
+    from inverseproblemwithdiffusionmodel_tpu.training.state import (
+        get_optimizer)
+    config = tiny_config()
+    config = config.replace(**{"optim.weight_decay": 0.1,
+                               "optim.grad_clip": 0.0})
+    params = {"GaussianFourierProjection_0": {"W": jnp.ones((4,))},
+              "Dense_0": {"kernel": jnp.ones((2, 2))}}
+    tx = get_optimizer(config)
+    opt_state = tx.init(params)
+    grads = jax.tree_util.tree_map(jnp.zeros_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    new = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(
+        np.asarray(new["GaussianFourierProjection_0"]["W"]), 1.0)
+    assert float(jnp.max(jnp.abs(new["Dense_0"]["kernel"] - 1.0))) > 1e-6
+
+
+def test_continuous_step_applies_dropout():
+    """The continuous train step runs the net in TRAIN mode: nn.Dropout is
+    live (the torch reference trains with dropout on). With identical
+    params and key, a dropout-0.9 module must produce a different loss than
+    a dropout-0 module; eval-mode apply (the sampling path) is unaffected."""
+    from inverseproblemwithdiffusionmodel_tpu.configs_continuous import (
+        get_continuous_config)
+    from inverseproblemwithdiffusionmodel_tpu.models.ncsnpp import NCSNpp
+    from inverseproblemwithdiffusionmodel_tpu.sde import VESDE
+    from inverseproblemwithdiffusionmodel_tpu.training import (
+        make_continuous_score_train_step)
+    small = {"data.image_size": 16, "model.nf": 16,
+             "model.num_res_blocks": 1, "model.ch_mult": (1, 2),
+             "model.attn_resolutions": (8,)}
+    # init_scale=0 zero-initializes each block's final conv (reference
+    # convention), which silences dropout at init — use a real scale so the
+    # dropout mask reaches the loss
+    cfg0 = get_continuous_config("ve/cifar10_ncsnpp_continuous").replace(
+        **small, **{"model.dropout": 0.0, "model.init_scale": 1.0})
+    cfg9 = cfg0.replace(**{"model.dropout": 0.9})
+    m0, m9 = NCSNpp(config=cfg0), NCSNpp(config=cfg9)
+    x = jnp.zeros((2, 16, 16, 3))
+    cond = jnp.array([5.0, 1.0])
+    params = m0.init(jax.random.PRNGKey(0), x, cond)["params"]
+    sde = VESDE(N=8, sigma_min=0.01, sigma_max=10.0)
+    batch = jax.random.uniform(jax.random.PRNGKey(1), (2, 16, 16, 3))
+    losses = {}
+    for name, m in (("p0", m0), ("p9", m9)):
+        state = TrainState.create(
+            jax.tree_util.tree_map(jnp.copy, params),
+            get_optimizer(tiny_config()))
+        step = make_continuous_score_train_step(m, sde)
+        _, loss = step(state, batch, jax.random.PRNGKey(2))
+        losses[name] = float(loss)
+    assert np.isfinite(list(losses.values())).all()
+    assert abs(losses["p0"] - losses["p9"]) > 1e-6, losses
+
+
+def test_continuous_dsm_reduce_mean_false_is_sigma2_weighted():
+    """reduce_mean=False is score_sde's 0.5*sum((score*std + z)^2): with a
+    zero score the loss is 0.5*D per sample regardless of the noise level
+    (the sigma^2 weighting). The un-weighted integrand would blow up at
+    small std."""
+    from inverseproblemwithdiffusionmodel_tpu.losses.dsm import (
+        continuous_dsm_loss)
+    from inverseproblemwithdiffusionmodel_tpu.sde import VESDE
+    sde = VESDE(N=8, sigma_min=0.01, sigma_max=50.0)
+    x = jnp.zeros((32, 8, 8, 1))
+    D = 8 * 8
+    loss = float(continuous_dsm_loss(lambda x, t: jnp.zeros_like(x), sde, x,
+                                     jax.random.PRNGKey(0),
+                                     reduce_mean=False))
+    assert 0.3 * D < loss < 0.8 * D, loss
+
+
+def test_fit_resume_fresh_rng_and_partial_epoch_counter(tmp_path):
+    """A resumed fit() must not replay the crashed run's PRNG stream, and a
+    max_steps stop mid-first-epoch must not inflate the rebased epoch
+    counter."""
+    import optax
+    from inverseproblemwithdiffusionmodel_tpu.training import (
+        fit, FitConfig, batch_iterator)
+    data = np.random.RandomState(0).rand(4, 2).astype(np.float32)
+    params = {"w": jnp.zeros((2,))}
+
+    keys_seen = []
+
+    def train_step(state, batch, key):
+        keys_seen.append(np.asarray(key))
+        return state.replace(step=state.step + 1), jnp.float32(0.0)
+
+    log_dir = str(tmp_path / "run")
+    cfg = FitConfig(n_epochs=2, seed=7, log_dir=log_dir,
+                    ckpt_every_epochs=1)
+    it = batch_iterator(data, 2, shuffle=False)
+    state = TrainState.create(params, optax.sgd(1e-3))
+    state = fit(state, train_step, it, cfg)
+    assert int(state.step) == 4  # 2 epochs x 2 batches
+    first_run_keys = [k.tolist() for k in keys_seen]
+
+    # resume: 1 more batch then stop mid-epoch (max_steps=5)
+    keys_seen.clear()
+    epochs_seen = []
+    cfg2 = FitConfig(n_epochs=50, seed=7, log_dir=log_dir, max_steps=5,
+                     ckpt_every_epochs=1)
+    state2 = TrainState.create(params, optax.sgd(1e-3))
+    state2 = fit(state2, train_step, it, cfg2,
+                 epoch_end_hook=lambda s, e: epochs_seen.append(e))
+    assert int(state2.step) == 5
+    # fresh randomness: the resumed first key differs from the original
+    assert keys_seen[0].tolist() != first_run_keys[0]
+    # partial first epoch (1 batch) must not rebase epoch to 4//1 = 4
+    assert epochs_seen and epochs_seen[0] < 2, epochs_seen
