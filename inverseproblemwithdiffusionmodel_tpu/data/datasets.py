@@ -202,8 +202,13 @@ def load_image_folder(root_dir: str, mode: str = "train", size: int = 64,
         files = files[:-n_hold]
     else:
         hold = files[-n_hold:]
-        half = len(hold) // 2
-        files = hold[:half] if mode == "val" else hold[half:]
+        if len(hold) < 2:
+            # only one held-out file: val and test must share it (an empty
+            # split would crash batching); aliasing beats silence
+            files = hold
+        else:
+            half = len(hold) // 2
+            files = hold[:half] if mode == "val" else hold[half:]
     from PIL import Image
     xs = np.empty((len(files), size, size, 3), np.float32)
     for i, path in enumerate(files):
@@ -273,7 +278,7 @@ def load_cine(root_dir: Optional[str] = None, mode: str = "train",
               flatten_type: str = "spatial",
               resize_shape: Optional[int] = None,
               resize_shape_T: Optional[int] = None,
-              win_size: int = 2, default_size: Tuple[int, int, int] = (25, 24, 127),
+              win_size: int = 2, default_t: int = 25, default_hw: int = 127,
               **_) -> ArrayDataset:
     """CINE .mat loader with per-sample min-max normalization and spatial /
     temporal flattening (reference: load_data.py:125-164).
@@ -293,9 +298,9 @@ def load_cine(root_dir: Optional[str] = None, mode: str = "train",
         ds = ds.transpose(3, 2, 0, 1).astype(np.float32)  # (N, T, H, W)
     else:
         _warn_synthetic("CINE", root)
-        n, Tf, HW = (12, default_size[0], default_size[2]) if fmode == "train" \
-            else (4, default_size[0], default_size[2])
-        ds = synthetic_cine(n, Tf, HW, HW, seed=0 if fmode == "train" else 1)
+        n = 12 if fmode == "train" else 4
+        ds = synthetic_cine(n, default_t, default_hw, default_hw,
+                            seed=0 if fmode == "train" else 1)
 
     lo = ds.min(axis=(1, 2, 3), keepdims=True)
     hi = ds.max(axis=(1, 2, 3), keepdims=True)
@@ -449,8 +454,12 @@ def load_data(ds_name: str, mode: str = "train", **kwargs) -> ArrayDataset:
         root = kwargs.pop("root_dir", REGISTERED_DATA_ROOT_DIR[ds_name])
         size = 64 if ds_name == "CINE64" else 127
         kwargs.setdefault("flatten_type", "spatial")
+        if ds_name == "CINE127":
+            # reference resizes 127 -> 128 in BOTH flatten modes
+            # (load_data.py:74-78); cine127.yml declares image_size 128
+            kwargs.setdefault("resize_shape", 128)
         return load_cine(root_dir=root, mode=mode,
-                         default_size=(25, 24, size), **kwargs)
+                         default_hw=size, **kwargs)
     if ds_name in ("CINE64_1D", "CINE127_1D"):
         root = kwargs.pop("root_dir", REGISTERED_DATA_ROOT_DIR[ds_name])
         size = 64 if "64" in ds_name else 127
@@ -459,10 +468,18 @@ def load_data(ds_name: str, mode: str = "train", **kwargs) -> ArrayDataset:
         kwargs.setdefault("resize_shape_T", 24)
         kwargs.setdefault("flatten_type", "temporal")
         return load_cine(root_dir=root, mode=mode,
-                         default_size=(25, 24, size), **kwargs)
+                         default_hw=size, **kwargs)
     if ds_name == "ACDC":
         return load_acdc(mode=mode, **kwargs)
     if ds_name == "SanityCheck1D":
+        # reference: train is seed=0/1000 samples, val/test seed=10/300
+        # (load_data.py:88-91) — val must not alias the training draws
+        if mode == "train":
+            kwargs.setdefault("seed", 0)
+            kwargs.setdefault("num_samples", 1000)
+        else:
+            kwargs.setdefault("seed", 10)
+            kwargs.setdefault("num_samples", 300)
         return load_sanity_check_1d(**kwargs)
     if ds_name in ("CELEBA", "BEDROOM", "CHURCH", "TOWER", "FFHQ"):
         root = kwargs.pop("root_dir", REGISTERED_DATA_ROOT_DIR[ds_name])

@@ -31,14 +31,25 @@ def _load():
             return _lib
         src = os.path.abspath(_SRC)
         so = os.path.abspath(_SO)
+        def build():
+            subprocess.run(
+                ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
+                 "-pthread", src, "-o", so],
+                check=True, capture_output=True, text=True)
+
         try:
             if (not os.path.exists(so)
                     or os.path.getmtime(so) < os.path.getmtime(src)):
-                subprocess.run(
-                    ["g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-                     "-pthread", src, "-o", so],
-                    check=True, capture_output=True, text=True)
-            lib = ctypes.CDLL(so)
+                build()
+            try:
+                lib = ctypes.CDLL(so)
+            except OSError:
+                # a pre-existing .so from another machine/arch (or with a
+                # checkout-equal mtime) can fail to load — rebuild once
+                # from source before giving up on the native path
+                os.remove(so)
+                build()
+                lib = ctypes.CDLL(so)
         except (OSError, subprocess.CalledProcessError) as e:
             _build_error = str(e)
             return None

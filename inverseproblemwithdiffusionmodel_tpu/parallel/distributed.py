@@ -42,7 +42,12 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     normal single-process mode.
     """
     global _initialized
-    if _initialized or jax.process_count() > 1:
+    # NOTE: do NOT consult jax.process_count() (or any device API) before
+    # deciding whether to initialize — it instantiates the XLA backends,
+    # after which jax.distributed.initialize() always raises. Use the
+    # runtime's own flag to detect an already-formed cluster.
+    already = getattr(jax.distributed, "is_initialized", lambda: False)()
+    if _initialized or already:
         _initialized = True
         return True
     # explicit opt-in only: single-chip relay backends export TPU_* metadata
@@ -51,7 +56,8 @@ def initialize_distributed(coordinator_address: Optional[str] = None,
     explicit = coordinator_address or os.environ.get(
         "JAX_COORDINATOR_ADDRESS") or num_processes
     if not explicit:
-        return False  # single host, nothing to form
+        # single host, nothing to form (safe to touch backends from here on)
+        return jax.process_count() > 1
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id)

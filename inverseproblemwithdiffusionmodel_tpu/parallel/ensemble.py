@@ -60,6 +60,7 @@ def run_sharded_ensemble(
     key: jax.Array,
     mesh: Optional[Mesh] = None,
     measurement_batch_axis: int = 0,
+    output_batch_axis: int = 0,
 ) -> jnp.ndarray:
     """Run `num_samples` independent chains of `sampler(measurement, key)`
     with the chain axis sharded over the mesh's data axis.
@@ -68,8 +69,11 @@ def run_sharded_ensemble(
     rows independently (all our ALD/MAP samplers do). Indivisible ensemble
     sizes (e.g. the README's 105 chains on 8 devices) are padded up to a
     multiple of the data axis via shard_chain_axis and the padding chains
-    sliced off the result. Returns the stacked reconstructions
-    (num_samples, ...).
+    sliced off the result. measurement_batch_axis is the chain axis of the
+    MEASUREMENT (1 for SENSE's coil-leading layout); output_batch_axis is
+    the chain axis of the sampler's OUTPUT — the padding is sliced off
+    there. Returns the stacked reconstructions (num_samples along
+    output_batch_axis).
     """
     y = repeat_measurement(measurement, num_samples, measurement_batch_axis)
     if mesh is None:
@@ -77,8 +81,9 @@ def run_sharded_ensemble(
     y, n = shard_chain_axis(y, mesh, axis=measurement_batch_axis)
     key = jax.device_put(key, replicated(mesh))
     out = sampler(y, key)
-    return jax.lax.slice_in_dim(out, 0, n, axis=0) \
-        if out.shape[0] != n else out
+    if out.shape[output_batch_axis] != n:
+        out = jax.lax.slice_in_dim(out, 0, n, axis=output_batch_axis)
+    return out
 
 
 def ensemble_mean_std(recons: jnp.ndarray, axis: int = 0

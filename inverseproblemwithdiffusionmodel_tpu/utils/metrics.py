@@ -79,8 +79,9 @@ def compute_metrics(metric_names: Sequence[str], img: jnp.ndarray,
                     reduce: Optional[str] = None) -> Dict[str, jnp.ndarray]:
     """Batched metric computation (reference: helpers/metrics.py:21-45).
 
-    img: (B, H, W) or (B, H, W, C) with C squeezed for SSIM;
-    img_orig: same, or a single reference broadcast over the batch.
+    img: (B, H, W) or (B, H, W, C); img_orig: same, or a single reference
+    broadcast over the batch. SSIM on C > 1 images is the per-channel mean
+    (the reference's SSIM_wrapper channel_axis, helpers/metrics.py:56-68).
     """
     if img.ndim == 4 and img.shape[-1] == 1:
         img = img[..., 0]
@@ -91,10 +92,16 @@ def compute_metrics(metric_names: Sequence[str], img: jnp.ndarray,
     elif img_orig.shape[0] == 1:
         img_orig = jnp.broadcast_to(img_orig, img.shape)
 
+    def one(name, a, b):
+        if name == "SSIM" and a.ndim == 3:  # (H, W, C>1): channel mean
+            return jnp.mean(jnp.stack([ssim(a[..., c], b[..., c])
+                                       for c in range(a.shape[-1])]))
+        return REGISTERED_METRICS[name](a, b)
+
     out: Dict[str, jnp.ndarray] = {}
     for name in metric_names:
-        fn = REGISTERED_METRICS[name]
-        vals = jnp.stack([fn(img[i], img_orig[i]) for i in range(img.shape[0])])
+        vals = jnp.stack([one(name, img[i], img_orig[i])
+                          for i in range(img.shape[0])])
         if reduce == "mean":
             vals = vals.mean()
         elif reduce == "sum":

@@ -52,22 +52,46 @@ def ensemble_stats(recons: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     return mag.mean(axis=0), mag.std(axis=0)
 
 
+def _ssim_nd(a: np.ndarray, b: np.ndarray) -> float:
+    """SSIM of same-shape arrays of any layout the run artifacts use:
+    (H, W), (H, W, 1), (H, W, C<=4) (per-channel mean, the reference
+    SSIM_wrapper channel_axis convention), or with extra leading frame
+    dims ((T, H, W, C) 2D+time volumes — frame-wise mean)."""
+    a, b = np.asarray(a), np.asarray(b)
+    if a.shape != b.shape:
+        raise ValueError(f"SSIM shape mismatch {a.shape} vs {b.shape}")
+    if a.ndim >= 3 and a.shape[-1] == 1:
+        a, b = a[..., 0], b[..., 0]
+    if a.ndim == 2:
+        return float(ssim_np(a, b))
+    if a.ndim == 3 and a.shape[-1] <= 4:  # (H, W, C): channel mean
+        return float(np.mean([ssim_np(a[..., c], b[..., c])
+                              for c in range(a.shape[-1])]))
+    return float(np.mean([_ssim_nd(a[j], b[j]) for j in range(a.shape[0])]))
+
+
 def per_sample_metrics(recons: np.ndarray, original: np.ndarray
                        ) -> Dict[str, List[float]]:
     """SNR / NRMSE / SSIM per ensemble member + for the ensemble mean
-    (reference: visualizations.py:96-142)."""
+    (reference: visualizations.py:96-142). Handles (N, H, W, C) image
+    ensembles and (N, T, H, W, C) 2D+time volume ensembles; `original`
+    may carry a leading batch dim of 1."""
     truth = np.abs(original)
-    if truth.ndim == 4 and truth.shape[0] == 1:
+    # align truth to one ensemble member's shape
+    while truth.ndim >= recons.ndim and truth.shape[0] == 1:
         truth = truth[0]
+    if truth.shape != recons.shape[1:]:
+        raise ValueError(f"original {np.asarray(original).shape} does not "
+                         f"match reconstructions {recons.shape}")
     rows: Dict[str, List[float]] = {"snr": [], "nrmse": [], "ssim": []}
     for i in range(recons.shape[0]):
         mag = np.abs(recons[i])
         rows["snr"].append(compute_snr_np(mag))
         rows["nrmse"].append(nrmse_np(mag, truth))
-        rows["ssim"].append(ssim_np(mag.squeeze(-1), truth.squeeze(-1)))
+        rows["ssim"].append(_ssim_nd(mag, truth))
     mean_mag, _ = ensemble_stats(recons)
     rows["mean_nrmse"] = [nrmse_np(mean_mag, truth)]
-    rows["mean_ssim"] = [ssim_np(mean_mag.squeeze(-1), truth.squeeze(-1))]
+    rows["mean_ssim"] = [_ssim_nd(mean_mag, truth)]
     return rows
 
 

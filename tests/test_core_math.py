@@ -228,3 +228,36 @@ def test_ladder_stability_check():
         r_bad = check_ladder_stability(bad, 3, 9e-7)
         assert r_bad < 1.0
         assert any("under-relaxed" in str(x.message) for x in w)
+
+
+def test_cine127_spatial_resizes_to_128():
+    """CINE127 spatial mode resizes 127 -> 128 like the reference
+    (load_data.py:74-78); cine127.yml declares image_size 128."""
+    from inverseproblemwithdiffusionmodel_tpu.data.datasets import load_data
+    ds = load_data("CINE127", "train", root_dir="/nonexistent_cine")
+    assert ds.data.shape[1:] == (128, 128, 1), ds.data.shape
+
+
+def test_sanity_check_1d_val_differs_from_train():
+    """Reference: train is seed=0/1000 samples, val seed=10/300
+    (load_data.py:88-91) — validation must not alias the training set."""
+    from inverseproblemwithdiffusionmodel_tpu.data.datasets import load_data
+    tr = load_data("SanityCheck1D", "train", num_channels=4, num_features=24)
+    va = load_data("SanityCheck1D", "val", num_channels=4, num_features=24)
+    assert len(tr) == 1000 and len(va) == 300
+    assert not np.allclose(tr.data[:300], va.data)
+
+
+def test_compute_metrics_multichannel_ssim():
+    """SSIM on (B, H, W, C>1) is the per-channel mean (reference
+    SSIM_wrapper channel_axis) instead of a rank crash."""
+    from inverseproblemwithdiffusionmodel_tpu.utils.metrics import (
+        compute_metrics, ssim)
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(2, 16, 16, 2).astype(np.float32))
+    b = jnp.asarray(rng.rand(2, 16, 16, 2).astype(np.float32))
+    out = compute_metrics(["SSIM", "NRMSE"], a, b)
+    assert out["SSIM"].shape == (2,)
+    want0 = 0.5 * (float(ssim(a[0, ..., 0], b[0, ..., 0]))
+                   + float(ssim(a[0, ..., 1], b[0, ..., 1])))
+    np.testing.assert_allclose(float(out["SSIM"][0]), want0, rtol=1e-5)

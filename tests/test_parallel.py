@@ -232,3 +232,26 @@ def test_run_sharded_ensemble_indivisible_count():
     assert out.shape == (105, 4, 4)
     mean, std = ensemble_mean_std(out)
     np.testing.assert_allclose(np.asarray(mean), 2.0, atol=0.05)
+
+
+def test_run_sharded_ensemble_coil_leading_measurement():
+    """SENSE-style layouts: the measurement's chain axis is 1 (coils lead)
+    while the sampler output's chain axis is 0 — the padding must be sliced
+    off the OUTPUT chain axis, not blindly off axis 0 of the measurement
+    layout."""
+    mesh = make_mesh()
+    measurement = jnp.arange(2 * 1 * 4 * 4, dtype=jnp.float32).reshape(
+        2, 1, 4, 4)  # (coils, B=1, H, W)
+
+    def sampler(y, key):
+        # conj-op analog: sum over the coil axis -> (chains, H, W)
+        return y.sum(axis=0)
+
+    out = run_sharded_ensemble(sampler, measurement, 5,
+                               jax.random.PRNGKey(0), mesh=mesh,
+                               measurement_batch_axis=1,
+                               output_batch_axis=0)
+    assert out.shape == (5, 4, 4)
+    want = np.asarray(measurement.sum(axis=0)[0])
+    for i in range(5):
+        np.testing.assert_allclose(np.asarray(out[i]), want)

@@ -59,3 +59,23 @@ def test_vis_images(tmp_path):
     p = V.vis_images(*imgs, titles=["a", "b", "c"],
                      save_path=str(tmp_path / "imgs.png"))
     assert os.path.exists(p)
+
+
+def test_per_sample_metrics_2d_time_volumes():
+    """(N, T, H, W, 1) volume ensembles: SSIM averages frame-wise instead
+    of crashing, NRMSE shapes are validated."""
+    from inverseproblemwithdiffusionmodel_tpu.utils.visualizations import (
+        per_sample_metrics)
+    rng = np.random.RandomState(0)
+    truth = rng.rand(3, 16, 16, 1).astype(np.float32)      # (T, H, W, 1)
+    recons = np.stack([truth + 0.01 * rng.randn(*truth.shape)
+                       for _ in range(4)]).astype(np.float32)
+    rows = per_sample_metrics(recons, truth)
+    assert len(rows["ssim"]) == 4 and np.isfinite(rows["ssim"]).all()
+    assert rows["mean_ssim"][0] > 0.5
+    # leading batch dim of 1 on the original is stripped
+    rows2 = per_sample_metrics(recons, truth[None])
+    np.testing.assert_allclose(rows2["nrmse"], rows["nrmse"])
+    import pytest
+    with pytest.raises(ValueError, match="does not match"):
+        per_sample_metrics(recons, truth[:2])
