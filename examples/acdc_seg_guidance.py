@@ -223,8 +223,11 @@ def main(argv=None):
         return seg_module.apply({"params": p}, x)
 
     @jax.jit
+    def _seg_predict(p, x):   # params as a jit argument (axon-safe)
+        return jnp.argmax(seg_fn(p, x), axis=-1)
+
     def seg_predict(x):
-        return jnp.argmax(seg_fn(seg_params_d, x), axis=-1)
+        return _seg_predict(seg_params_d, x)
 
     # sanity: seg quality on clean held-out slices
     # slices [0 .. n_test-1] = test (reported, averaged); [n_test] = val

@@ -167,8 +167,13 @@ def main(argv=None):
     test = load_mnist(mode="test", size=S)
 
     @jax.jit
+    def _judge_predict(p, x):
+        # params as a jit ARGUMENT (closed-over pytrees inline as HLO
+        # constants -> slow lowering / oversized remote compiles, CLAUDE.md)
+        return jnp.argmax(clf_module.apply({"params": p}, x), axis=-1)
+
     def judge_predict(x):
-        return jnp.argmax(clf_module.apply({"params": judge_d}, x), axis=-1)
+        return _judge_predict(judge_d, x)
 
     judge_acc = float(np.mean(np.asarray(
         judge_predict(jnp.asarray(test.data))) == np.asarray(test.labels)))

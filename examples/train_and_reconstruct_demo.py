@@ -160,6 +160,9 @@ def main(argv=None):
     t0 = time.time()
     xr, xi = recon(ema_params, yr_b, yi_b, jax.random.PRNGKey(9))
     mean_mag = jnp.sqrt(xr ** 2 + xi ** 2).mean(axis=0)
+    # sync via a device->host scalar fetch before reading the clock
+    # (async dispatch would otherwise under-report; CLAUDE.md)
+    _ = float(mean_mag.sum())
     wall = time.time() - t0
 
     # bf16 forward variant with the SAME trained weights: quality + speed

@@ -66,13 +66,20 @@ def reload_model(config: Config, task_name: str,
     return module, params
 
 
-def add_common_args(parser):
+def add_common_args(parser, num_samples: bool = True, ckpt: bool = True):
+    """Shared CLI flags. Scripts that cannot honor a flag must not
+    advertise it (a silently-ignored --num_samples misdocuments the run's
+    args.json): deterministic single-chain optimizers pass
+    num_samples=False; prior-free baselines (TV) pass ckpt=False."""
     parser.add_argument("--save_dir", default="outputs")
-    parser.add_argument("--ckpt_dir", default=None,
-                        help="orbax checkpoint dir of the trained score model")
+    if ckpt:
+        parser.add_argument("--ckpt_dir", default=None,
+                            help="orbax checkpoint dir of the trained "
+                                 "score model")
     parser.add_argument("--seed", type=int, default=0)
-    parser.add_argument("--num_samples", type=int, default=1,
-                        help="ensemble chains (batch rows)")
+    if num_samples:
+        parser.add_argument("--num_samples", type=int, default=1,
+                            help="ensemble chains (batch rows)")
     parser.add_argument("--override", action="append", default=[],
                         metavar="KEY=VALUE",
                         help="dotted config override, e.g. model.ngf=16")

@@ -61,10 +61,12 @@ def run_map(args, lin_tfm_factory):
 
 
 def main(argv=None):
-    p = add_common_args(argparse.ArgumentParser())
+    # MAP is a deterministic optimizer from x0 = A^H y: no chain ensemble
+    p = add_common_args(argparse.ArgumentParser(), num_samples=False)
     p.add_argument("--ds_name", default="ACDC")
-    p.add_argument("--num_skip_lines", type=int, default=None,
-                   help="uniform skip (defaults to 7/8 of lines)")
+    p.add_argument("--num_skip_lines", type=int, default=2,
+                   help="keep-stride: keep every Nth k-space line "
+                        "(reference default 2 = R=2, acdc_MAP.py:30)")
     p.add_argument("--lamda", type=float, default=0.1, help="prior weight")
     p.add_argument("--n_iters", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
@@ -73,8 +75,7 @@ def main(argv=None):
     args = p.parse_args(argv)
 
     def factory(s):
-        skip = args.num_skip_lines or (s * 7 // 8)
-        return UndersamplingFourier.create(skip, s)
+        return UndersamplingFourier.create(args.num_skip_lines, s)
 
     return run_map(args, factory)
 

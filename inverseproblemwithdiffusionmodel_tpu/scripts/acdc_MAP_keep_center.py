@@ -12,7 +12,8 @@ from ..operators import RandomUndersamplingFourier
 
 
 def main(argv=None):
-    p = add_common_args(argparse.ArgumentParser())
+    # MAP is a deterministic optimizer: no chain ensemble
+    p = add_common_args(argparse.ArgumentParser(), num_samples=False)
     p.add_argument("--ds_name", default="ACDC")
     p.add_argument("--R", type=int, default=8, choices=[8, 16, 20])
     p.add_argument("--center_lines_frac", type=float, default=1 / 16)

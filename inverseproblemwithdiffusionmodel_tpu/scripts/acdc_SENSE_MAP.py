@@ -11,7 +11,8 @@ from ..operators import make_sense
 
 
 def main(argv=None):
-    p = add_common_args(argparse.ArgumentParser())
+    # MAP is a deterministic optimizer: no chain ensemble
+    p = add_common_args(argparse.ArgumentParser(), num_samples=False)
     p.add_argument("--ds_name", default="ACDC")
     p.add_argument("--R", type=int, default=8, choices=[8, 16, 20])
     p.add_argument("--num_sens", type=int, default=4)

@@ -22,7 +22,9 @@ from ..utils.metrics import nrmse, ssim
 
 
 def main(argv=None):
-    p = add_common_args(argparse.ArgumentParser())
+    # TV is prior-free (no score checkpoint) and deterministic (no ensemble)
+    p = add_common_args(argparse.ArgumentParser(), num_samples=False,
+                        ckpt=False)
     p.add_argument("--ds_name", default="ACDC")
     p.add_argument("--R", type=int, default=8, choices=[8, 16, 20])
     p.add_argument("--num_sens", type=int, default=4)

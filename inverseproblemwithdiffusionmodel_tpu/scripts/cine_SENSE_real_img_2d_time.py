@@ -72,6 +72,10 @@ def main(argv=None):
                          (s, s, 1), seed=args.seed, num_frames=T)
     measurement = lin_tfm(x_true)              # (S, T, s, s, 1)
     zf = lin_tfm.conj_op(measurement)
+    # ensemble chains: B-major repeat of the T-frame block -> (S, B*T, ...)
+    # (reference: cine_SENSE_real_img_2d_time.py:121 measurement.repeat)
+    B = args.num_samples
+    measurement_b = jnp.tile(measurement, (1, B, 1, 1, 1))
 
     module_S, params_S = reload_model(config_S, "Diffusion", args.ckpt_dir)
     sigmas_S = get_sigmas(config_S, "recons")
@@ -105,7 +109,7 @@ def main(argv=None):
             win_size=args.win_size, num_frames=T)
 
     t0 = time.time()
-    recons = recon_fn(params_S, params_T, measurement, k_run)
+    recons = recon_fn(params_S, params_T, measurement_b, k_run)
     # sync via a device->host scalar fetch (block_until_ready is not a
     # trustworthy sync on remote-dispatch backends — see CLAUDE.md); the
     # wall time INCLUDES the one-off XLA compile, so this is an end-to-end
@@ -116,7 +120,9 @@ def main(argv=None):
           f"({sigmas_S.shape[0] * cfg.n_steps_each / wall:.2f} ALD "
           f"steps/s end-to-end; steady-state throughput: bench.py)")
 
-    mag = np.abs(np.asarray(recons[0]))        # (T, s, s, 1)
+    # ensemble mean of magnitudes (the reference's "mean of N
+    # reconstructions"); B=1 reduces to the single chain
+    mag = np.abs(np.asarray(recons)).mean(axis=0)   # (T, s, s, 1)
     truth = np.abs(np.asarray(x_true))
     m_nrmse = float(nrmse(jnp.asarray(mag), jnp.asarray(truth)))
     ssims = [float(ssim(jnp.asarray(mag[t, ..., 0]),

@@ -24,7 +24,8 @@ from ..utils.metrics import nrmse, ssim
 
 
 def main(argv=None):
-    p = add_common_args(argparse.ArgumentParser())
+    # MAP is deterministic from x0 = A^H y: no chain ensemble
+    p = add_common_args(argparse.ArgumentParser(), num_samples=False)
     p.add_argument("--ds_name", default="CINE127")
     p.add_argument("--ds_name_T", default="CINE127_1D")
     p.add_argument("--task_name_T", default="Diffusion1D")
@@ -84,7 +85,7 @@ def main(argv=None):
         n_iters=args.n_iters or (map_cfg.n_iters if map_cfg else 200),
         lr=args.lr or (map_cfg.lr if map_cfg else 1e-3))
     t0 = time.time()
-    recon = jax.block_until_ready(jax.jit(
+    recon = jax.jit(
         lambda pS, pT, y: map_optimizer_2d_time(
             make_score_fn(module_S, pS, sigmas_S),
             (make_tube_score_fn_3d(module_T, pT, sigmas_T, args.win_size)
@@ -96,7 +97,10 @@ def main(argv=None):
             temporal_step_weight=args.temporal_step_weight,
             mode_T=args.mode_T,
             win_size=args.win_size, num_frames=T))(
-        params_S, params_T, measurement))
+        params_S, params_T, measurement)
+    # sync via a device->host scalar fetch (block_until_ready is not a
+    # trustworthy sync on remote-dispatch backends — see CLAUDE.md)
+    _ = float(jnp.abs(recon).sum())
     print(f"MAP 2D+time wall-clock: {time.time() - t0:.2f}s")
 
     mag = np.abs(np.asarray(recon[0]))

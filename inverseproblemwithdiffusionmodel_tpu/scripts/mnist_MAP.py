@@ -1,7 +1,9 @@
 """MNIST MAP inpainting (line-skip measurement).
 
-Reference: scripts/mnist_MAP.py — `Inpainting` MAP optimizer over a
-SkipLines-undersampled Fourier measurement.
+Reference: scripts/mnist_MAP.py — `Inpainting` MAP optimizer over an
+IMAGE-domain SkipLines measurement (linear_tfm = SkipLines applied
+directly to the image, mnist_MAP.py:66; num_skip_lines is the keep-stride,
+default 2 = keep every 2nd row, :29).
 """
 from __future__ import annotations
 
@@ -15,16 +17,19 @@ from ._common import apply_overrides, add_common_args, save_artifacts, reload_mo
 from ..config import load_config
 from ..data import load_data
 from ..models.registry import make_score_fn
-from ..operators import UndersamplingFourier
+from ..operators import SkipLines
 from ..samplers import MAPConfig, map_optimizer
 from ..samplers.sigmas import get_sigmas
 from ..utils.metrics import nrmse
 
 
 def main(argv=None):
-    p = add_common_args(argparse.ArgumentParser())
+    # MAP is a deterministic optimizer from x0 = A^H y: no chain ensemble
+    p = add_common_args(argparse.ArgumentParser(), num_samples=False)
     p.add_argument("--ds_name", default="MNIST")
-    p.add_argument("--num_skip_lines", type=int, default=16)
+    p.add_argument("--num_skip_lines", type=int, default=2,
+                   help="keep-stride: keep every Nth image row "
+                        "(reference default 2)")
     p.add_argument("--lamda", type=float, default=0.1)
     p.add_argument("--n_iters", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
@@ -41,7 +46,8 @@ def main(argv=None):
     img = jnp.asarray(ds.data[args.sample_idx:args.sample_idx + 1])
     x_true = img.astype(jnp.complex64)
 
-    lin_tfm = UndersamplingFourier.create(args.num_skip_lines, s)
+    # image-domain row decimation (the reference's Inpainting problem)
+    lin_tfm = SkipLines(num_skip_lines=args.num_skip_lines, height=s)
     measurement = lin_tfm(x_true)
     zf = lin_tfm.conj_op(measurement)
 

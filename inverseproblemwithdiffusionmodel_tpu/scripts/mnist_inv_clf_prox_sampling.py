@@ -15,7 +15,7 @@ from ._common import apply_overrides, add_common_args, save_artifacts, reload_mo
 from ..config import load_config
 from ..data import load_data
 from ..models.registry import make_score_fn
-from ..operators import UndersamplingFourier, get_proximal
+from ..operators import SkipLines, get_proximal
 from ..parallel import repeat_measurement
 from ..samplers import (ALDConfig, ald_inverse_clf_proximal,
                         check_ladder_stability)
@@ -26,11 +26,15 @@ def main(argv=None):
     p = add_common_args(argparse.ArgumentParser())
     p.add_argument("--ds_name", default="MNIST")
     p.add_argument("--cls", type=int, default=3)
-    p.add_argument("--num_skip_lines", type=int, default=16)
+    p.add_argument("--num_skip_lines", type=int, default=2,
+                   help="keep-stride: keep every Nth image row "
+                        "(reference default 2)")
     p.add_argument("--lr_scaled", type=float, default=5.0)
     p.add_argument("--clf_lamda", type=float, default=1.0)
+    # SingleCoil's closed form assumes a masked-Fourier operator; the
+    # image-domain SkipLines measurement supports the CG and projection forms
     p.add_argument("--proximal", default="L2Penalty",
-                   choices=["L2Penalty", "Constrained", "SingleCoil"])
+                   choices=["L2Penalty", "Constrained"])
     p.add_argument("--clf_ckpt_dir", default=None)
     p.add_argument("--sample_idx", type=int, default=0)
     p.add_argument("--data_root", default=None)
@@ -44,7 +48,9 @@ def main(argv=None):
     ds = load_data(args.ds_name, "test", **kw)
     img = jnp.asarray(ds.data[args.sample_idx:args.sample_idx + 1])
 
-    lin_tfm = UndersamplingFourier.create(args.num_skip_lines, s)
+    # image-domain row decimation (the reference applies SkipLines
+    # directly to the image, mnist_inv_clf_sampling.py:63)
+    lin_tfm = SkipLines(num_skip_lines=args.num_skip_lines, height=s)
     measurement = lin_tfm(img.astype(jnp.complex64))
     y_b = repeat_measurement(measurement, args.num_samples)
 

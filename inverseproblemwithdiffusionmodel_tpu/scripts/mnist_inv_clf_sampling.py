@@ -17,7 +17,7 @@ from ._common import apply_overrides, add_common_args, save_artifacts, reload_mo
 from ..config import load_config
 from ..data import load_data
 from ..models.registry import make_score_fn
-from ..operators import UndersamplingFourier
+from ..operators import SkipLines
 from ..parallel import repeat_measurement
 from ..samplers import (ALDConfig, ald_inverse_clf,
                         check_ladder_stability)
@@ -28,7 +28,9 @@ def main(argv=None):
     p = add_common_args(argparse.ArgumentParser())
     p.add_argument("--ds_name", default="MNIST")
     p.add_argument("--cls", type=int, default=3, help="target class")
-    p.add_argument("--num_skip_lines", type=int, default=16)
+    p.add_argument("--num_skip_lines", type=int, default=2,
+                   help="keep-stride: keep every Nth image row "
+                        "(reference default 2)")
     p.add_argument("--lamda", type=float, default=1.0,
                    help="data-consistency weight")
     p.add_argument("--clf_lamda", type=float, default=1.0)
@@ -45,7 +47,9 @@ def main(argv=None):
     ds = load_data(args.ds_name, "test", **kw)
     img = jnp.asarray(ds.data[args.sample_idx:args.sample_idx + 1])
 
-    lin_tfm = UndersamplingFourier.create(args.num_skip_lines, s)
+    # image-domain row decimation (the reference applies SkipLines
+    # directly to the image, mnist_inv_clf_sampling.py:63)
+    lin_tfm = SkipLines(num_skip_lines=args.num_skip_lines, height=s)
     measurement = lin_tfm(img.astype(jnp.complex64))
     y_b = repeat_measurement(measurement, args.num_samples)
 

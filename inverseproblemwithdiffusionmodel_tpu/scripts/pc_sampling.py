@@ -35,11 +35,9 @@ def main(argv=None):
                    metavar="KEY=VALUE")
     args = p.parse_args(argv)
 
-    config = get_continuous_config(args.config)
-    if args.override:
-        import yaml
-        config = config.replace(**{k: yaml.safe_load(v) for k, _, v in
-                                   (o.partition("=") for o in args.override)})
+    from ._common import apply_overrides
+    config = apply_overrides(get_continuous_config(args.config),
+                             args.override)
     if args.method:
         config = config.replace(**{"sampling.method": args.method})
 

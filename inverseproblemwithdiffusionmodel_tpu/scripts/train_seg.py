@@ -45,7 +45,10 @@ def main(argv=None):
     module = build_seg_unet()
     x0 = jnp.zeros((1, config.data.image_size, config.data.image_size,
                     config.data.channels))
-    params = module.init(jax.random.PRNGKey(args.seed), x0)["params"]
+    # jitted init: eager per-op dispatch is minutes-slow on remote
+    # backends (CLAUDE.md)
+    params = jax.jit(module.init)(jax.random.PRNGKey(args.seed),
+                                  x0)["params"]
     sigmas = get_sigmas(config)
     state = TrainState.create(params, get_optimizer(config), ema_decay=None)
     step = make_seg_train_step(module, sigmas, perturb=args.perturb)

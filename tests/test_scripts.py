@@ -191,3 +191,19 @@ def test_acdc_sense_use_mesh(tmp_path):
                 "--R", "8", "--use_mesh"] + TINY)
     assert out.shape == (8, 16, 16, 1)
     assert np.isfinite(np.abs(out)).all()
+
+
+def test_mnist_measurement_is_image_domain_skiplines(tmp_path):
+    """The MNIST inverse problems are IMAGE-domain inpainting (the
+    reference applies SkipLines directly to the image, mnist_MAP.py:66),
+    not Fourier undersampling: the saved measurement must be the decimated
+    rows of the original image itself."""
+    from inverseproblemwithdiffusionmodel_tpu.scripts.mnist_MAP import main
+    out = main(["--save_dir", str(tmp_path), "--n_iters", "2",
+                "--num_skip_lines", "4"] + TINY)
+    run_dir = sorted(glob.glob(str(tmp_path / "*")))[-1]
+    original = np.load(os.path.join(run_dir, "original.npy"))
+    measurement = np.load(os.path.join(run_dir, "measurement.npy"))
+    assert measurement.shape == (1, 4, 16, 1)  # every 4th of 16 rows
+    np.testing.assert_allclose(np.abs(measurement),
+                               np.abs(original[:, 0::4]), atol=1e-6)
