@@ -336,18 +336,32 @@ def ald_inverse_clf_proximal(
     config: ALDConfig = ALDConfig(),
     lr_scaled: float = 1.0,
     clf_lamda: float = 1.0,
+    clf_start_time: Optional[float] = None,
+    clf_step_type: str = "linear",
 ) -> jnp.ndarray:
     """Re-grown `ALDInvClfProximal`: classifier guidance + proximal data
     consistency on the Re/Im split (pattern of ALD_optimizers.py:161-327 with
-    clf guidance instead of seg). Returns complex."""
+    clf guidance instead of seg). Returns complex.
+
+    clf_start_time=None (default) applies constant-strength guidance
+    (grad * clf_lamda). A float enables the reference prox script's ramped
+    form (mnist_inv_clf_prox_sampling.py:32-33): get_lh_weights(sigmas,
+    clf_start_time, clf_step_type) scales the guidance per level, divided by
+    sigma — the ALDInvSegProximalRealImag weighting (:272-286) with the clf
+    gradient in place of the seg gradient."""
+    from .sigmas import get_lh_weights
     x0 = lin_tfm.conj_op(measurement)
     x_re, x_im = jnp.real(x0), jnp.imag(x0)
     sigma_last = sigmas[-1]
     cls2 = stack_parts(cls, cls)
+    ramped = clf_start_time is not None
+    lh_weights = (get_lh_weights(sigmas, clf_start_time, clf_step_type)
+                  if ramped else jnp.ones_like(jnp.asarray(sigmas)))
 
     def level_step(carry, inp):
         x_re, x_im, key = carry
         c, sigma = inp
+        lh_w = lh_weights[c]
         step_size = config.step_lr * (sigma / sigma_last) ** 2
 
         def inner(_, state):
@@ -355,7 +369,11 @@ def ald_inverse_clf_proximal(
             key, k_re, k_im = jax.random.split(key, 3)
             stacked = stack_parts(x_re, x_im)
             grads = score_fn(stacked, _labels(stacked, c))
-            grads = grads + compute_clf_grad(clf_fn, stacked, cls2) * clf_lamda
+            g_clf = compute_clf_grad(clf_fn, stacked, cls2)
+            if ramped:
+                grads = grads + g_clf / sigma * (lh_w * clf_lamda)
+            else:
+                grads = grads + g_clf * clf_lamda
             g_re, g_im = unstack_parts(grads)
             x_re = _langevin_update(x_re, g_re, step_size, k_re)
             x_im = _langevin_update(x_im, g_im, step_size, k_im)

@@ -16,16 +16,19 @@ def main(argv=None):
     p.add_argument("--ds_name", default="ACDC")
     p.add_argument("--R", type=int, default=8, choices=[8, 16, 20])
     p.add_argument("--num_sens", type=int, default=4)
+    p.add_argument("--sens_type", default="exp", choices=["exp"],
+                   help="synthetic coil-map family (reference default exp)")
     p.add_argument("--center_lines_frac", type=float, default=1 / 16)
     p.add_argument("--lamda", type=float, default=0.1)
     p.add_argument("--n_iters", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
-    p.add_argument("--sample_idx", type=int, default=0)
+    p.add_argument("--sample_idx", "--ds_idx", type=int, default=0,
+                   help="test-set slice index (reference name: --ds_idx)")
     p.add_argument("--data_root", default=None)
     args = p.parse_args(argv)
 
     def factory(s):
-        return make_sense("exp", args.num_sens, args.R,
+        return make_sense(args.sens_type, args.num_sens, args.R,
                           args.center_lines_frac, (s, s, 1), seed=args.seed,
                           num_frames=1)
 

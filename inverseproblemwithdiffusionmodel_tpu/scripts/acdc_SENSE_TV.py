@@ -28,13 +28,29 @@ def main(argv=None):
     p.add_argument("--ds_name", default="ACDC")
     p.add_argument("--R", type=int, default=8, choices=[8, 16, 20])
     p.add_argument("--num_sens", type=int, default=4)
+    p.add_argument("--sens_type", default="exp", choices=["exp"],
+                   help="synthetic coil-map family (reference default exp)")
     p.add_argument("--center_lines_frac", type=float, default=1 / 16)
     p.add_argument("--reg_weight", type=float, default=1e-3)
-    p.add_argument("--n_iters", type=int, default=None)
+    p.add_argument("--n_iters", "--num_epochs", type=int, default=None,
+                   help="Adam iterations (reference name: "
+                        "--num_epochs, Lightning epochs over the "
+                        "single measurement)")
+    p.add_argument("--log_dir", default=None,
+                   help="accepted for reference CLI compatibility; "
+                        "alias of --save_dir")
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="accepted for reference CLI compatibility; "
+                        "unused — the C++ prefetch batcher replaces "
+                        "torch DataLoader workers")
+
     p.add_argument("--lr", type=float, default=None)
-    p.add_argument("--sample_idx", type=int, default=0)
+    p.add_argument("--sample_idx", "--ds_idx", type=int, default=0,
+                   help="test-set slice index (reference name: --ds_idx)")
     p.add_argument("--data_root", default=None)
     args = p.parse_args(argv)
+    if args.log_dir:
+        args.save_dir = args.log_dir
 
     config = load_config(args.ds_name, "real-imag")
     config = apply_overrides(config, args.override)
@@ -47,7 +63,7 @@ def main(argv=None):
 
     key = jax.random.PRNGKey(args.seed)
     x_true = add_phase(img, key)
-    lin_tfm = make_sense("exp", args.num_sens, args.R,
+    lin_tfm = make_sense(args.sens_type, args.num_sens, args.R,
                          args.center_lines_frac, (s, s, 1), seed=args.seed,
                          num_frames=1)
     measurement = lin_tfm(x_true)

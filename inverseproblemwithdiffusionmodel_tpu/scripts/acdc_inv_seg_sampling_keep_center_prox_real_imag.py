@@ -34,13 +34,22 @@ def main(argv=None):
     p.add_argument("--lamda", type=float, default=1.0, help="seg guidance weight")
     p.add_argument("--lr_scaled", type=float, default=5.0,
                    help="proximal step scale")
-    p.add_argument("--proximal", default="L2Penalty",
+    p.add_argument("--proximal", "--proximal_type", default="L2Penalty",
                    choices=["L2Penalty", "Constrained", "SingleCoil"])
     p.add_argument("--seg_start_time", type=float, default=1.0,
                    help="guidance ramp start (1.0 disables guidance)")
+    p.add_argument("--seg_step_type", default="linear",
+                   help="guidance ramp curve (reference name)")
     p.add_argument("--seg_ckpt_dir", default=None)
-    p.add_argument("--sample_idx", type=int, default=0)
+    p.add_argument("--sample_idx", "--ds_idx", type=int, default=0,
+                   help="test-set slice index (reference name: --ds_idx)")
     p.add_argument("--data_root", default=None)
+    p.add_argument("--step_lr", type=float, default=None,
+                   help="Langevin step size (defaults to the config's "
+                        "sampling.step_lr)")
+    p.add_argument("--num_steps_each", type=int, default=None,
+                   help="inner steps per noise level (defaults to the "
+                        "config's sampling.n_steps_each)")
     args = p.parse_args(argv)
 
     config = load_config(args.ds_name, "real-imag")
@@ -72,8 +81,9 @@ def main(argv=None):
         seg_module, seg_params = reload_model(config, "Seg", args.seg_ckpt_dir)
         seg_label_b = repeat_measurement(seg_label, args.num_samples)
 
-    cfg = ALDConfig(n_steps_each=config.sampling.n_steps_each,
-                    step_lr=config.sampling.step_lr)
+    cfg = ALDConfig(
+                    n_steps_each=args.num_steps_each or config.sampling.n_steps_each,
+                    step_lr=args.step_lr or config.sampling.step_lr)
     check_ladder_stability(sigmas, cfg.n_steps_each, cfg.step_lr)
     y_b = repeat_measurement(measurement, args.num_samples)
     proximal = get_proximal(args.proximal)(lin_tfm=lin_tfm)
@@ -89,7 +99,8 @@ def main(argv=None):
         return ald_inverse_seg_proximal_real_imag(
             sfn, sigmas, y, lin_tfm, proximal, k, cfg,
             lr_scaled=args.lr_scaled, seg_fn=gfn, seg_label=seg_lbl,
-            seg_lamda=args.lamda, seg_start_time=args.seg_start_time)
+            seg_lamda=args.lamda, seg_start_time=args.seg_start_time,
+            seg_step_type=args.seg_step_type)
 
     recons = jax.device_get(
         recon_fn(params, seg_params, y_b, seg_label_b, k_run))

@@ -29,15 +29,24 @@ def main(argv=None):
     p = add_common_args(argparse.ArgumentParser())
     p.add_argument("--ds_name", default="CINE127")
     p.add_argument("--ds_name_T", default="CINE127_1D")
-    p.add_argument("--task_name_T", default="Diffusion1D",
+    p.add_argument("--task_name_T", "--temporal_type", default="Diffusion1D",
                    choices=["Diffusion1D", "Diffusion3D"])
     p.add_argument("--mode_T", default="diffusion1d",
                    choices=["tv", "diffusion1d", "none", "diffusion1d-only",
                             "tv-only"])
     p.add_argument("--R", type=int, default=8, choices=[8, 16, 20])
     p.add_argument("--num_sens", type=int, default=4)
+    p.add_argument("--center_lines_frac", type=float,
+                   default=1 / 16)
+    p.add_argument("--sens_type", default="exp", choices=["exp"],
+                   help="synthetic coil-map family (reference default exp)")
     p.add_argument("--lamda_T", type=float, default=1.0)
     p.add_argument("--lr_scaled", type=float, default=5.0)
+    p.add_argument("--proximal_type", default="L2Penalty",
+                   choices=["L2Penalty", "Constrained"],
+                   help="data-consistency step (SingleCoil's "
+                        "closed form needs a single-coil "
+                        "masked-Fourier operator)")
     p.add_argument("--if_random_shift", action="store_true")
     p.add_argument("--win_size", type=int, default=8)
     p.add_argument("--num_frames", type=int, default=24)
@@ -45,8 +54,15 @@ def main(argv=None):
     p.add_argument("--ckpt_dir_T", default=None)
     p.add_argument("--override_T", action="append", default=[],
                    metavar="KEY=VALUE")
-    p.add_argument("--sample_idx", type=int, default=0)
+    p.add_argument("--sample_idx", "--ds_idx", type=int, default=0,
+                   help="test-set slice index (reference name: --ds_idx)")
     p.add_argument("--data_root", default=None)
+    p.add_argument("--step_lr", type=float, default=None,
+                   help="Langevin step size (defaults to the config's "
+                        "sampling.step_lr)")
+    p.add_argument("--num_steps_each", type=int, default=None,
+                   help="inner steps per noise level (defaults to the "
+                        "config's sampling.n_steps_each)")
     args = p.parse_args(argv)
 
     config_S = apply_overrides(load_config(args.ds_name, "real-imag"), args.override)
@@ -68,7 +84,8 @@ def main(argv=None):
     key, k_phase, k_run = jax.random.split(key, 3)
     x_true = add_phase(vol, k_phase, init_shape=(5, 5, 5), mode="2D+time")
 
-    lin_tfm = make_sense("exp", args.num_sens, args.R, 1 / 16,
+    lin_tfm = make_sense(args.sens_type, args.num_sens, args.R,
+                         args.center_lines_frac,
                          (s, s, 1), seed=args.seed, num_frames=T)
     measurement = lin_tfm(x_true)              # (S, T, s, s, 1)
     zf = lin_tfm.conj_op(measurement)
@@ -87,10 +104,12 @@ def main(argv=None):
         module_T, params_T = reload_model(config_T, args.task_name_T,
                                           args.ckpt_dir_T)
 
-    cfg = ALDConfig(n_steps_each=config_S.sampling.n_steps_each,
-                    step_lr=config_S.sampling.step_lr)
+    cfg = ALDConfig(
+                    n_steps_each=args.num_steps_each or config_S.sampling.n_steps_each,
+                    step_lr=args.step_lr or config_S.sampling.step_lr)
     check_ladder_stability(sigmas_S, cfg.n_steps_each, cfg.step_lr)
-    proximal = L2Penalty(lin_tfm=lin_tfm)
+    from ..operators import get_proximal
+    proximal = get_proximal(args.proximal_type)(lin_tfm=lin_tfm)
 
     # params as jit args (closed-over pytrees would be inlined as constants)
     @jax.jit

@@ -28,23 +28,37 @@ def main(argv=None):
     p = add_common_args(argparse.ArgumentParser(), num_samples=False)
     p.add_argument("--ds_name", default="CINE127")
     p.add_argument("--ds_name_T", default="CINE127_1D")
-    p.add_argument("--task_name_T", default="Diffusion1D")
+    p.add_argument("--task_name_T", "--temporal_type", default="Diffusion1D")
     p.add_argument("--mode_T", default="diffusion1d",
                    choices=["tv", "diffusion1d", "none"])
     p.add_argument("--R", type=int, default=8, choices=[8, 16, 20])
     p.add_argument("--num_sens", type=int, default=4)
+    p.add_argument("--center_lines_frac", type=float,
+                   default=1 / 16)
+    p.add_argument("--sens_type", default="exp", choices=["exp"],
+                   help="synthetic coil-map family (reference default exp)")
     p.add_argument("--prior_weight", type=float, default=1.0)
     p.add_argument("--spatial_step_weight", type=float, default=1.0)
     p.add_argument("--temporal_step_weight", type=float, default=1.0)
     p.add_argument("--win_size", type=int, default=8)
     p.add_argument("--num_frames", type=int, default=24)
     p.add_argument("--image_size", type=int, default=None)
-    p.add_argument("--n_iters", type=int, default=None)
+    p.add_argument("--n_iters", "--num_iters", "--max_iter",
+                   type=int, default=None,
+                   help="Adam iterations (reference names: "
+                        "--num_iters/--max_iter)")
+    p.add_argument("--beta1", type=float, default=None)
+    p.add_argument("--beta2", type=float, default=None)
+    p.add_argument("--if_random_shift", action="store_true")
+    p.add_argument("--num_plot_times", type=int, default=6,
+                   help="frames in the saved temporal strip "
+                        "(reference name)")
     p.add_argument("--lr", type=float, default=None)
     p.add_argument("--ckpt_dir_T", default=None)
     p.add_argument("--override_T", action="append", default=[],
                    metavar="KEY=VALUE")
-    p.add_argument("--sample_idx", type=int, default=0)
+    p.add_argument("--sample_idx", "--ds_idx", type=int, default=0,
+                   help="test-set slice index (reference name: --ds_idx)")
     p.add_argument("--data_root", default=None)
     args = p.parse_args(argv)
 
@@ -64,7 +78,8 @@ def main(argv=None):
     key, k_phase = jax.random.split(key)
     x_true = add_phase(vol, k_phase, init_shape=(5, 5, 5), mode="2D+time")
 
-    lin_tfm = make_sense("exp", args.num_sens, args.R, 1 / 16,
+    lin_tfm = make_sense(args.sens_type, args.num_sens, args.R,
+                         args.center_lines_frac,
                          (s, s, 1), seed=args.seed, num_frames=T)
     measurement = lin_tfm(x_true)
     zf = lin_tfm.conj_op(measurement)
@@ -83,7 +98,9 @@ def main(argv=None):
     map_cfg = config_S.get("MAP")
     cfg = MAPConfig(
         n_iters=args.n_iters or (map_cfg.n_iters if map_cfg else 200),
-        lr=args.lr or (map_cfg.lr if map_cfg else 1e-3))
+        lr=args.lr or (map_cfg.lr if map_cfg else 1e-3),
+        b1=args.beta1 if args.beta1 is not None else 0.5,
+        b2=args.beta2 if args.beta2 is not None else 0.5)
     t0 = time.time()
     recon = jax.jit(
         lambda pS, pT, y: map_optimizer_2d_time(
@@ -96,6 +113,7 @@ def main(argv=None):
             spatial_step_weight=args.spatial_step_weight,
             temporal_step_weight=args.temporal_step_weight,
             mode_T=args.mode_T,
+            if_random_shift=args.if_random_shift,
             win_size=args.win_size, num_frames=T))(
         params_S, params_T, measurement)
     # sync via a device->host scalar fetch (block_until_ready is not a
@@ -114,6 +132,9 @@ def main(argv=None):
     run_dir = save_artifacts(args.save_dir, vars(args), original=x_true,
                              measurement=measurement, ZF=zf,
                              reconstructions=recon)
+    from ..utils.visualizations import grid_of_temporal_samples
+    grid_of_temporal_samples(mag, num_frames=min(args.num_plot_times, T),
+                             save_path=f"{run_dir}/temporal_grid.png")
     print(f"artifacts -> {run_dir}")
     return recon
 

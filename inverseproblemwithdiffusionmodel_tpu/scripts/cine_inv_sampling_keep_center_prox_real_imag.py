@@ -30,10 +30,22 @@ def main(argv=None):
     p.add_argument("--R", type=int, default=8, choices=[8, 16, 20])
     p.add_argument("--center_lines_frac", type=float, default=1 / 16)
     p.add_argument("--lr_scaled", type=float, default=5.0)
-    p.add_argument("--proximal", default="L2Penalty",
+    p.add_argument("--lamda", type=float, default=0.1,
+                   help="guidance weight (reference surface; "
+                        "inert — the reference passes label=None here too)")
+    p.add_argument("--seg_start_time", type=float, default=0.0)
+    p.add_argument("--seg_step_type", default="linear")
+    p.add_argument("--proximal", "--proximal_type", default="L2Penalty",
                    choices=["L2Penalty", "Constrained", "SingleCoil"])
-    p.add_argument("--sample_idx", type=int, default=0)
+    p.add_argument("--sample_idx", "--ds_idx", type=int, default=0,
+                   help="test-set slice index (reference name: --ds_idx)")
     p.add_argument("--data_root", default=None)
+    p.add_argument("--step_lr", type=float, default=None,
+                   help="Langevin step size (defaults to the config's "
+                        "sampling.step_lr)")
+    p.add_argument("--num_steps_each", type=int, default=None,
+                   help="inner steps per noise level (defaults to the "
+                        "config's sampling.n_steps_each)")
     args = p.parse_args(argv)
 
     config = load_config(args.ds_name, "real-imag")
@@ -56,8 +68,9 @@ def main(argv=None):
     module, params = reload_model(config, "Diffusion", args.ckpt_dir)
     sigmas = get_sigmas(config, "recons")
 
-    cfg = ALDConfig(n_steps_each=config.sampling.n_steps_each,
-                    step_lr=config.sampling.step_lr)
+    cfg = ALDConfig(
+                    n_steps_each=args.num_steps_each or config.sampling.n_steps_each,
+                    step_lr=args.step_lr or config.sampling.step_lr)
     check_ladder_stability(sigmas, cfg.n_steps_each, cfg.step_lr)
     y_b = repeat_measurement(measurement, args.num_samples)
     proximal = get_proximal(args.proximal)(lin_tfm=lin_tfm)

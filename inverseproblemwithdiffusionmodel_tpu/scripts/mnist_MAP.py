@@ -33,7 +33,8 @@ def main(argv=None):
     p.add_argument("--lamda", type=float, default=0.1)
     p.add_argument("--n_iters", type=int, default=None)
     p.add_argument("--lr", type=float, default=None)
-    p.add_argument("--sample_idx", type=int, default=0)
+    p.add_argument("--sample_idx", "--ds_idx", type=int, default=0,
+                   help="test-set slice index (reference name: --ds_idx)")
     p.add_argument("--data_root", default=None)
     args = p.parse_args(argv)
 

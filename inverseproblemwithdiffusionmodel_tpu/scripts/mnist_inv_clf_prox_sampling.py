@@ -30,14 +30,26 @@ def main(argv=None):
                    help="keep-stride: keep every Nth image row "
                         "(reference default 2)")
     p.add_argument("--lr_scaled", type=float, default=5.0)
-    p.add_argument("--clf_lamda", type=float, default=1.0)
+    p.add_argument("--clf_lamda", "--lamda", type=float, default=1.0,
+                   help="classifier-guidance weight (reference name: --lamda)")
+    p.add_argument("--clf_start_time", type=float, default=0.0,
+                   help="guidance ramp start as a ladder fraction "
+                        "(reference default 0)")
+    p.add_argument("--clf_step_type", default="linear")
     # SingleCoil's closed form assumes a masked-Fourier operator; the
     # image-domain SkipLines measurement supports the CG and projection forms
-    p.add_argument("--proximal", default="L2Penalty",
+    p.add_argument("--proximal", "--proximal_type", default="L2Penalty",
                    choices=["L2Penalty", "Constrained"])
     p.add_argument("--clf_ckpt_dir", default=None)
-    p.add_argument("--sample_idx", type=int, default=0)
+    p.add_argument("--sample_idx", "--ds_idx", type=int, default=0,
+                   help="test-set slice index (reference name: --ds_idx)")
     p.add_argument("--data_root", default=None)
+    p.add_argument("--step_lr", type=float, default=None,
+                   help="Langevin step size (defaults to the config's "
+                        "sampling.step_lr)")
+    p.add_argument("--num_steps_each", type=int, default=None,
+                   help="inner steps per noise level (defaults to the "
+                        "config's sampling.n_steps_each)")
     args = p.parse_args(argv)
 
     config = load_config(args.ds_name, "real-imag")
@@ -59,8 +71,9 @@ def main(argv=None):
                         else "unconditioned")
     clf_module, clf_params = reload_model(config, "Clf", args.clf_ckpt_dir)
 
-    cfg = ALDConfig(n_steps_each=config.sampling.n_steps_each,
-                    step_lr=config.sampling.step_lr)
+    cfg = ALDConfig(
+                    n_steps_each=args.num_steps_each or config.sampling.n_steps_each,
+                    step_lr=args.step_lr or config.sampling.step_lr)
     check_ladder_stability(sigmas, cfg.n_steps_each, cfg.step_lr)
     cls = jnp.full((args.num_samples,), args.cls, jnp.int32)
     proximal = get_proximal(args.proximal)(lin_tfm=lin_tfm)
@@ -69,7 +82,9 @@ def main(argv=None):
             make_score_fn(module, p, sigmas),
             lambda x: clf_module.apply({"params": cp}, x),
             cls, sigmas, y, lin_tfm, proximal, k, cfg,
-            lr_scaled=args.lr_scaled, clf_lamda=args.clf_lamda))(
+            lr_scaled=args.lr_scaled, clf_lamda=args.clf_lamda,
+            clf_start_time=args.clf_start_time,
+            clf_step_type=args.clf_step_type))(
         params, clf_params, y_b, jax.random.PRNGKey(args.seed)))
 
     run_dir = save_artifacts(args.save_dir, vars(args), original=img,

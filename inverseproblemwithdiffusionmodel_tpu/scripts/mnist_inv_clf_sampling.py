@@ -35,8 +35,15 @@ def main(argv=None):
                    help="data-consistency weight")
     p.add_argument("--clf_lamda", type=float, default=1.0)
     p.add_argument("--clf_ckpt_dir", default=None)
-    p.add_argument("--sample_idx", type=int, default=0)
+    p.add_argument("--sample_idx", "--ds_idx", type=int, default=0,
+                   help="test-set slice index (reference name: --ds_idx)")
     p.add_argument("--data_root", default=None)
+    p.add_argument("--step_lr", type=float, default=None,
+                   help="Langevin step size (defaults to the config's "
+                        "sampling.step_lr)")
+    p.add_argument("--num_steps_each", type=int, default=None,
+                   help="inner steps per noise level (defaults to the "
+                        "config's sampling.n_steps_each)")
     args = p.parse_args(argv)
 
     config = load_config(args.ds_name)
@@ -57,8 +64,9 @@ def main(argv=None):
     sigmas = get_sigmas(config)
     clf_module, clf_params = reload_model(config, "Clf", args.clf_ckpt_dir)
 
-    cfg = ALDConfig(n_steps_each=config.sampling.n_steps_each,
-                    step_lr=config.sampling.step_lr)
+    cfg = ALDConfig(
+                    n_steps_each=args.num_steps_each or config.sampling.n_steps_each,
+                    step_lr=args.step_lr or config.sampling.step_lr)
     check_ladder_stability(sigmas, cfg.n_steps_each, cfg.step_lr)
     cls = jnp.full((args.num_samples,), args.cls, jnp.int32)
     recon = jax.device_get(jax.jit(lambda p, cp, y, k: ald_inverse_clf(

@@ -68,6 +68,18 @@ def main(argv=None):
                    metavar="KEY=VALUE")
     p.add_argument("--no_native_loader", action="store_true",
                    help="disable the C++ prefetch batcher train feed")
+    p.add_argument("--if_centering", action=argparse.BooleanOptionalAction,
+                   default=True,
+                   help="center inputs to [-1, 1] before collation "
+                        "(the reference hardcodes this ON for score "
+                        "training, train_ncsn.py:69)")
+    p.add_argument("--notes", default=None,
+                   help="free-form run description (written to desc.txt, "
+                        "as the reference does, train_ncsn.py:91-93)")
+    p.add_argument("--num_workers", type=int, default=0,
+                   help="accepted for reference CLI compatibility; "
+                        "unused — the C++ prefetch batcher replaces "
+                        "torch DataLoader workers")
     p.add_argument("--seed", type=int, default=42)
     args = p.parse_args(argv)
 
@@ -121,12 +133,19 @@ def main(argv=None):
         module, sigmas, data_mode=args.mode,
         anneal_power=config.training.anneal_power,
         mesh=mesh, filter_th=args.filter_th, remat=args.remat,
-        compute_dtype=jnp.bfloat16 if args.bf16 else None)
+        compute_dtype=jnp.bfloat16 if args.bf16 else None,
+        if_centering=args.if_centering)
     eval_step = make_score_eval_step(module, sigmas, data_mode=args.mode,
-                                     anneal_power=config.training.anneal_power)
+                                     anneal_power=config.training.anneal_power,
+                                     if_centering=args.if_centering)
 
     log_dir = os.path.join(args.log_dir,
                            f"{args.ds_name}_{args.task_name}_{args.mode}")
+    os.makedirs(log_dir, exist_ok=True)
+    with open(os.path.join(log_dir, "desc.txt"), "w") as wf:
+        # run metadata file, as the reference writes (train_ncsn.py:91-93)
+        for k, v in sorted(vars(args).items()):
+            wf.write(f"{k}: {v}\n")
     cfg = FitConfig(n_epochs=n_epochs, max_steps=max_steps,
                     log_dir=log_dir, seed=args.seed)
     state = fit(state, step,

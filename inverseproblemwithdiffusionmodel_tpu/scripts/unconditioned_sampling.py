@@ -26,7 +26,14 @@ def main(argv=None):
                    choices=["Diffusion", "Diffusion1D", "Diffusion3D"])
     p.add_argument("--mode", default="real-valued")
     p.add_argument("--step_lr", type=float, default=None)
-    p.add_argument("--n_steps_each", type=int, default=None)
+    p.add_argument("--n_steps_each", "--num_steps_each",
+                   type=int, default=None)
+    p.add_argument("--if_save_fig", action="store_true",
+                   help="save 1-D signal figures "
+                        "(reference: for 1D only)")
+    p.add_argument("--if_save_as_gif", action="store_true",
+                   help="save temporal samples as GIFs "
+                        "(reference: for 1D only)")
     p.add_argument("--use_mesh", action="store_true")
     args = p.parse_args(argv)
 
@@ -68,6 +75,17 @@ def main(argv=None):
     samples = jax.device_get(sampler(params, x_init, key))
     samples = samples[:args.num_samples]
     run_dir = save_artifacts(args.save_dir, vars(args), samples=samples)
+    if args.if_save_fig and samples.ndim == 3:      # (B, T, C) 1-D signals
+        from ..utils.visualizations import vis_signals
+        vis_signals(*[samples[i] for i in range(min(4, len(samples)))],
+                    save_path=f"{run_dir}/signals.png")
+    if args.if_save_as_gif and samples.ndim >= 4:
+        import numpy as _np
+        from ..utils.visualizations import save_vol_as_gif
+        vol = samples[0]
+        if vol.ndim == 4:  # (win, win, T, C) 3-D net sample -> (T, H, W)
+            vol = _np.moveaxis(vol[..., 0], -1, 0)
+        save_vol_as_gif(_np.asarray(vol), f"{run_dir}/sample0.gif")
     print(f"saved {samples.shape} samples -> {run_dir}")
     return samples
 

@@ -78,6 +78,7 @@ def make_score_train_step(
     remat: bool = False,
     tp: bool = False,
     compute_dtype: Optional[Any] = None,
+    if_centering: bool = False,
 ) -> Callable[[TrainState, jnp.ndarray, jax.Array], Tuple[TrainState, jnp.ndarray]]:
     """DSM train step. For 'real-imag' modes the loss is the mean of the DSM
     losses on the real and imaginary parts (reference:
@@ -114,6 +115,11 @@ def make_score_train_step(
             return raw_score(params, x, labels)
 
         key_collate, key_dsm = jax.random.split(key)
+        if if_centering:
+            # reference score training always centers to [-1, 1] BEFORE
+            # collation (train_ncsn.py:69 hardcodes if_centering=True;
+            # pl_helpers.py:126)
+            batch = 2.0 * batch - 1.0
         weight = None
         if filter_th is not None:
             from ..utils.misc import filter_batch
@@ -188,14 +194,21 @@ def make_continuous_score_train_step(
 
 def make_clf_train_step(module, sigmas: jnp.ndarray,
                         mesh: Optional[Mesh] = None,
-                        compute_dtype=None):
+                        compute_dtype=None,
+                        data_mode: str = "real-valued"):
     """Noise-robust classifier step (reference: helpers/pl_helpers.py:190-246,
-    ncsn/losses/clf_loss.py). batch = (X, y)."""
+    ncsn/losses/clf_loss.py). batch = (X, y). data_mode collates X before
+    the loss, as TrainClf does (pl_helpers.py:212) — single-tensor modes
+    only (a 'real-imag' Re/Im pair has no single class target)."""
     sigmas = jnp.asarray(sigmas)
     apply_fn = _mixed_precision_apply(module, compute_dtype)
 
     def loss_fn(params, batch, key):
         X, y = batch
+        key_collate, key = jax.random.split(key)
+        X = collate_batch(X, data_mode, key_collate)
+        assert not isinstance(X, list), \
+            f"clf training needs a single-tensor data_mode, not {data_mode!r}"
         clf_fn = lambda x: apply_fn(params, x)
         loss, logits = clf_loss_with_perturbation(clf_fn, X, y, sigmas, key)
         acc = jnp.mean((jnp.argmax(logits, -1) == y).astype(jnp.float32))
@@ -213,17 +226,34 @@ def make_clf_train_step(module, sigmas: jnp.ndarray,
 def make_seg_train_step(module, sigmas: jnp.ndarray,
                         perturb: bool = False,
                         mesh: Optional[Mesh] = None,
-                        compute_dtype=None):
+                        compute_dtype=None,
+                        if_centering: bool = False,
+                        data_mode: str = "real-valued"):
     """Segmentation (DiceCE) step (reference: helpers/pl_helpers.py:264-352,
-    ncsn/losses/seg_loss.py). batch = (X, y_mask)."""
+    ncsn/losses/seg_loss.py). batch = (X, y_mask). if_centering applies the
+    reference's optional 2X-1 shift (train_seg.py:26); data_mode collates X
+    after centering (pl_helpers.py:290-296 — Re/Im modes average the two
+    part losses under the shared label)."""
     sigmas = jnp.asarray(sigmas)
     apply_fn = _mixed_precision_apply(module, compute_dtype)
 
     def loss_fn(params, batch, key):
         X, y = batch
+        if if_centering:
+            X = 2.0 * X - 1.0
+        key_collate, key = jax.random.split(key)
+        Xc = collate_batch(X, data_mode, key_collate)
         seg_fn = lambda x: apply_fn(params, x)
-        loss, _ = seg_loss_with_perturbation(seg_fn, X, y, sigmas, key,
-                                             perturb=perturb)
+        if isinstance(Xc, list):
+            k_re, k_im = jax.random.split(key)
+            loss_re, _ = seg_loss_with_perturbation(seg_fn, Xc[0], y, sigmas,
+                                                    k_re, perturb=perturb)
+            loss_im, _ = seg_loss_with_perturbation(seg_fn, Xc[1], y, sigmas,
+                                                    k_im, perturb=perturb)
+            loss = 0.5 * (loss_re + loss_im)
+        else:
+            loss, _ = seg_loss_with_perturbation(seg_fn, Xc, y, sigmas, key,
+                                                 perturb=perturb)
         return loss
 
     def step(state: TrainState, batch, key: jax.Array):
@@ -236,7 +266,8 @@ def make_seg_train_step(module, sigmas: jnp.ndarray,
 def make_score_eval_step(module, sigmas: jnp.ndarray,
                          data_mode: str = "real-valued",
                          anneal_power: float = 2.0,
-                         use_ema: bool = True):
+                         use_ema: bool = True,
+                         if_centering: bool = False):
     """Validation DSM loss on EMA params (the reference swaps EMA weights in
     around validation, helpers/pl_callbacks.py:87-108)."""
     sigmas = jnp.asarray(sigmas)
@@ -249,6 +280,8 @@ def make_score_eval_step(module, sigmas: jnp.ndarray,
             return module.apply({"params": params}, x, sigmas[labels])
 
         key_collate, key_dsm = jax.random.split(key)
+        if if_centering:
+            batch = 2.0 * batch - 1.0
         parts = collate_batch(batch, data_mode, key_collate)
         x = stack_parts(*parts) if isinstance(parts, list) else parts
         return anneal_dsm_score_estimation(score_fn, x, sigmas, key_dsm,

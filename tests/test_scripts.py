@@ -95,7 +95,11 @@ def test_generators_and_vol2slices(tmp_path):
     from inverseproblemwithdiffusionmodel_tpu.scripts.generate_train_ncsn \
         import main as gen_main
     gen_main(["--ds_names", "MNIST", "--save_dir", str(tmp_path / "jobs")])
-    assert (tmp_path / "jobs" / "train_ncsn_MNIST.sh").exists()
+    assert (tmp_path / "jobs" / "train_ncsn_MNIST_real-imag.sh").exists()
+    # reference preset sets: 1=MNIST with real-valued + complex modes
+    gen_main(["--set_num", "1", "--save_dir", str(tmp_path / "jobs2")])
+    assert (tmp_path / "jobs2" / "train_ncsn_MNIST_real-valued.sh").exists()
+    assert (tmp_path / "jobs2" / "train_ncsn_MNIST_complex.sh").exists()
 
     # vol2slices roundtrip on a synthetic volume file
     import numpy as np
