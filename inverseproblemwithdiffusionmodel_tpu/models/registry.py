@@ -159,6 +159,17 @@ def make_apply_fn(module, params) -> Callable[[jnp.ndarray], jnp.ndarray]:
     return apply_fn
 
 
+def module_takes_train(module) -> bool:
+    """Whether the module's __call__ has a `train` flag (the continuous
+    zoo nets gate nn.Dropout on it; the discrete ncsn family has no
+    stochastic layers and no flag)."""
+    import inspect
+    try:
+        return "train" in inspect.signature(type(module).__call__).parameters
+    except (TypeError, ValueError):
+        return False
+
+
 def get_model_fn(module, params, train: bool = False,
                  dropout_key: Optional[jax.Array] = None
                  ) -> Callable[[jnp.ndarray, jnp.ndarray], jnp.ndarray]:
@@ -168,15 +179,13 @@ def get_model_fn(module, params, train: bool = False,
     flag (the continuous zoo gates nn.Dropout on it) `train=True` enables
     stochastic layers, drawing from `dropout_key` (default PRNGKey(0)).
     Modules without the flag (the discrete ncsn family — no stochastic
-    layers) ignore `train`, as in the reference."""
-    import inspect
-    try:
-        takes_train = "train" in inspect.signature(
-            type(module).__call__).parameters
-    except (TypeError, ValueError):
-        takes_train = False
+    layers) ignore `train`, as in the reference.
 
-    if train and takes_train:
+    NOTE: the returned closure draws ONE dropout mask (from `dropout_key`)
+    and reuses it on every call — fine for a single training/eval pass,
+    but NOT a source of per-call stochasticity (for MC-dropout, call
+    module.apply yourself with a fresh rng per call)."""
+    if train and module_takes_train(module):
         key = dropout_key if dropout_key is not None else jax.random.PRNGKey(0)
 
         def model_fn(x, cond):

@@ -90,9 +90,15 @@ def main(argv=None):
     measurement = lin_tfm(x_true)              # (S, T, s, s, 1)
     zf = lin_tfm.conj_op(measurement)
     # ensemble chains: B-major repeat of the T-frame block -> (S, B*T, ...)
-    # (reference: cine_SENSE_real_img_2d_time.py:121 measurement.repeat)
+    # (reference: cine_SENSE_real_img_2d_time.py:121 measurement.repeat).
+    # The per-frame mask must be tiled to the same B*T chain-by-frame axis
+    # or the proximal's forward op cannot broadcast against the batch.
+    from ..parallel import repeat_measurement
     B = args.num_samples
-    measurement_b = jnp.tile(measurement, (1, B, 1, 1, 1))
+    measurement_b = repeat_measurement(measurement, B, batch_axis=1)
+    lin_tfm_b = lin_tfm if B == 1 else lin_tfm.replace(
+        base=lin_tfm.base.replace(
+            mask=jnp.tile(lin_tfm.base.mask, (B, 1, 1, 1))))
 
     module_S, params_S = reload_model(config_S, "Diffusion", args.ckpt_dir)
     sigmas_S = get_sigmas(config_S, "recons")
@@ -109,7 +115,7 @@ def main(argv=None):
                     step_lr=args.step_lr or config_S.sampling.step_lr)
     check_ladder_stability(sigmas_S, cfg.n_steps_each, cfg.step_lr)
     from ..operators import get_proximal
-    proximal = get_proximal(args.proximal_type)(lin_tfm=lin_tfm)
+    proximal = get_proximal(args.proximal_type)(lin_tfm=lin_tfm_b)
 
     # params as jit args (closed-over pytrees would be inlined as constants)
     @jax.jit
@@ -122,7 +128,7 @@ def main(argv=None):
         else:
             sT = make_score_fn(module_T, pT, sigmas_T)
         return ald_2d_time(
-            sS, sT, sigmas_S, sigmas_T, y, lin_tfm, proximal, k,
+            sS, sT, sigmas_S, sigmas_T, y, lin_tfm_b, proximal, k,
             cfg, lr_scaled=args.lr_scaled, mode_T=args.mode_T,
             lamda_T=args.lamda_T, if_random_shift=args.if_random_shift,
             win_size=args.win_size, num_frames=T)

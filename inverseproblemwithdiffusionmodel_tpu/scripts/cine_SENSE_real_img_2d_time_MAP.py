@@ -24,8 +24,7 @@ from ..utils.metrics import nrmse, ssim
 
 
 def main(argv=None):
-    # MAP is deterministic from x0 = A^H y: no chain ensemble
-    p = add_common_args(argparse.ArgumentParser(), num_samples=False)
+    p = add_common_args(argparse.ArgumentParser())
     p.add_argument("--ds_name", default="CINE127")
     p.add_argument("--ds_name_T", default="CINE127_1D")
     p.add_argument("--task_name_T", "--temporal_type", default="Diffusion1D")
@@ -83,6 +82,14 @@ def main(argv=None):
                          (s, s, 1), seed=args.seed, num_frames=T)
     measurement = lin_tfm(x_true)
     zf = lin_tfm.conj_op(measurement)
+    # chain ensemble (reference repeats the measurement, :117); per-frame
+    # masks are tiled to the B*T chain-by-frame axis
+    from ..parallel import repeat_measurement
+    B = args.num_samples
+    measurement_b = repeat_measurement(measurement, B, batch_axis=1)
+    lin_tfm_b = lin_tfm if B == 1 else lin_tfm.replace(
+        base=lin_tfm.base.replace(
+            mask=jnp.tile(lin_tfm.base.mask, (B, 1, 1, 1))))
 
     module_S, params_S = reload_model(config_S, "Diffusion", args.ckpt_dir)
     sigmas_S = get_sigmas(config_S, "recons")
@@ -108,20 +115,21 @@ def main(argv=None):
             (make_tube_score_fn_3d(module_T, pT, sigmas_T, args.win_size)
              if use_T and args.task_name_T == "Diffusion3D"
              else make_score_fn(module_T, pT, sigmas_T) if use_T else None),
-            y, lin_tfm, cfg,
+            y, lin_tfm_b, cfg,
             prior_weight=args.prior_weight,
             spatial_step_weight=args.spatial_step_weight,
             temporal_step_weight=args.temporal_step_weight,
             mode_T=args.mode_T,
             if_random_shift=args.if_random_shift,
             win_size=args.win_size, num_frames=T))(
-        params_S, params_T, measurement)
+        params_S, params_T, measurement_b)
     # sync via a device->host scalar fetch (block_until_ready is not a
     # trustworthy sync on remote-dispatch backends — see CLAUDE.md)
     _ = float(jnp.abs(recon).sum())
     print(f"MAP 2D+time wall-clock: {time.time() - t0:.2f}s")
 
-    mag = np.abs(np.asarray(recon[0]))
+    # ensemble mean of magnitudes (B=1 reduces to one chain)
+    mag = np.abs(np.asarray(recon)).mean(axis=0)
     truth = np.abs(np.asarray(x_true))
     ssims = [float(ssim(jnp.asarray(mag[t, ..., 0]),
                         jnp.asarray(truth[t, ..., 0]))) for t in range(T)]

@@ -79,13 +79,21 @@ def main(argv=None):
         from ..utils.visualizations import vis_signals
         vis_signals(*[samples[i] for i in range(min(4, len(samples)))],
                     save_path=f"{run_dir}/signals.png")
-    if args.if_save_as_gif and samples.ndim >= 4:
+    if args.if_save_as_gif:
         import numpy as _np
         from ..utils.visualizations import save_vol_as_gif
-        vol = samples[0]
-        if vol.ndim == 4:  # (win, win, T, C) 3-D net sample -> (T, H, W)
-            vol = _np.moveaxis(vol[..., 0], -1, 0)
-        save_vol_as_gif(_np.asarray(vol), f"{run_dir}/sample0.gif")
+        vol = None
+        if samples.ndim == 5:      # (B, win, win, T, C) 3-D net volumes
+            vol = _np.moveaxis(samples[0][..., 0], -1, 0)     # (T, H, W)
+        elif samples.ndim == 3:    # (B, T, k^2) pixel tubes (1-D nets)
+            k = int(_np.sqrt(samples.shape[-1]))
+            if k * k == samples.shape[-1]:
+                vol = samples[0].reshape(-1, k, k)            # (T, k, k)
+        if vol is not None:
+            save_vol_as_gif(_np.asarray(vol), f"{run_dir}/sample0.gif")
+        else:
+            print("--if_save_as_gif: only 1-D tube or 3-D volume samples "
+                  "have a temporal axis to animate; skipped")
     print(f"saved {samples.shape} samples -> {run_dir}")
     return samples
 

@@ -57,17 +57,6 @@ def _mixed_precision_apply(module, compute_dtype):
     return apply_fn
 
 
-def _module_takes_train(module) -> bool:
-    """Whether the module's __call__ has a `train` flag (the continuous zoo
-    nets gate nn.Dropout on it; the discrete ncsn family has no stochastic
-    layers and no flag)."""
-    import inspect
-    try:
-        return "train" in inspect.signature(type(module).__call__).parameters
-    except (TypeError, ValueError):
-        return False
-
-
 def make_score_train_step(
     module,
     sigmas: jnp.ndarray,
@@ -170,7 +159,8 @@ def make_continuous_score_train_step(
     # the continuous zoo trains with dropout ON (torch reference runs the
     # net in train mode, helpers/pl_helpers.py:31-96 via Lightning); Flax
     # needs the explicit train flag + a dropout rng
-    takes_train = _module_takes_train(module)
+    from ..models.registry import module_takes_train
+    takes_train = module_takes_train(module)
 
     def loss_fn(params, batch, key):
         key_collate, key_dsm, key_drop = jax.random.split(key, 3)

@@ -10,10 +10,22 @@ REF_DIR = "/root/reference/scripts"
 OUR_DIR = os.path.join(os.path.dirname(__file__), "..",
                        "inverseproblemwithdiffusionmodel_tpu", "scripts")
 
-# flags our shared parser (scripts/_common.add_common_args) provides; the
-# audit treats them as present even when a script builds its parser from it
-COMMON = {"--save_dir", "--ckpt_dir", "--seed", "--num_samples", "--override",
+# flags scripts/_common.add_common_args provides — conditionally: the
+# audit must NOT credit --num_samples/--ckpt_dir to a script whose
+# add_common_args call opts out of them
+COMMON = {"--save_dir", "--seed", "--override",
           "--override_T", "--ckpt_dir_T", "--data_root", "--sample_idx"}
+
+
+def _common_flags_of(path):
+    src = open(path).read()
+    flags = set(COMMON)
+    if "add_common_args(" in src:
+        if "num_samples=False" not in src:
+            flags.add("--num_samples")
+        if "ckpt=False" not in src:
+            flags.add("--ckpt_dir")
+    return flags
 
 
 def _args_of(path):
@@ -38,7 +50,7 @@ def test_every_reference_flag_is_accepted():
         ours = os.path.join(OUR_DIR, f)
         assert os.path.exists(ours), f"missing CLI counterpart for {f}"
         missing = _args_of(os.path.join(REF_DIR, f)) \
-            - (_args_of(ours) | COMMON)
+            - (_args_of(ours) | _common_flags_of(ours))
         if missing:
             gaps[f] = sorted(missing)
     assert not gaps, f"reference flags not accepted: {gaps}"

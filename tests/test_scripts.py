@@ -90,6 +90,14 @@ def test_cine_2d_time_script(tmp_path):
                 "--win_size", "4", "--R", "8"] + TINY + tiny_T)
     assert out.shape == (1, 4, 16, 16, 1)
 
+    # ensemble chains: the per-frame masks must tile to the B*T chain axis
+    out = main(["--save_dir", str(tmp_path), "--mode_T", "tv",
+                "--image_size", "16", "--num_frames", "4",
+                "--win_size", "4", "--R", "8", "--num_samples", "2"]
+               + TINY + tiny_T)
+    assert out.shape == (2, 4, 16, 16, 1)
+    assert np.isfinite(np.abs(out)).all()
+
 
 def test_generators_and_vol2slices(tmp_path):
     from inverseproblemwithdiffusionmodel_tpu.scripts.generate_train_ncsn \
@@ -176,6 +184,13 @@ def test_cine_2d_time_map_script(tmp_path):
                 "--win_size", "4", "--R", "8", "--n_iters", "5"]
                + TINY + tiny_T)
     assert out.shape == (1, 4, 16, 16, 1)
+
+    # reference exposes --num_samples here too (MAP ensemble, :117)
+    out = main(["--save_dir", str(tmp_path), "--mode_T", "tv",
+                "--image_size", "16", "--num_frames", "4",
+                "--win_size", "4", "--R", "8", "--n_iters", "5",
+                "--num_samples", "2"] + TINY + tiny_T)
+    assert out.shape == (2, 4, 16, 16, 1)
 
 
 def test_mnist_inv_clf_sampling_script(tmp_path):

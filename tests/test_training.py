@@ -505,3 +505,20 @@ def test_fit_resume_fresh_rng_and_partial_epoch_counter(tmp_path):
     assert keys_seen[0].tolist() != first_run_keys[0]
     # partial first epoch (1 batch) must not rebase epoch to 4//1 = 4
     assert epochs_seen and epochs_seen[0] < 2, epochs_seen
+
+
+def test_score_train_step_centering_matches_manual(score_setup):
+    """if_centering=True == centering the batch by hand with the flag off
+    (the reference's TrainScoreModelDiscrete 2X-1 shift before collation)."""
+    config, module, sigmas, params = score_setup
+    batch = jax.random.uniform(jax.random.PRNGKey(5), (4, 16, 16, 1))
+    key = jax.random.PRNGKey(6)
+    st = lambda: TrainState.create(
+        jax.tree_util.tree_map(jnp.copy, params), get_optimizer(config))
+    s_on = make_score_train_step(module, sigmas, if_centering=True)
+    s_off = make_score_train_step(module, sigmas)
+    _, loss_on = s_on(st(), batch, key)
+    _, loss_manual = s_off(st(), 2.0 * batch - 1.0, key)
+    _, loss_off = s_off(st(), batch, key)
+    np.testing.assert_allclose(float(loss_on), float(loss_manual), rtol=1e-6)
+    assert abs(float(loss_on) - float(loss_off)) > 1e-6
