@@ -103,7 +103,11 @@ def main():
     phase = jax.random.normal(k2, (batch, size, size, 1))
     yr, yi = lin_tfm(mag * jnp.cos(phase), mag * jnp.sin(phase))
 
-    proximal = PairL2Penalty(lin_tfm=lin_tfm, num_iters=4)
+    # normal-kernel fast path: the Cartesian line mask makes A^H A a single
+    # precomputed WxW matmul per coil per CG iteration (H-axis DFTs cancel);
+    # A^H y is baked in by the samplers (_bake_ahy) so the CG setup reuses
+    # the chain init instead of recomputing a SENSE adjoint per inner step
+    proximal = PairL2Penalty.with_normal_kernel(lin_tfm, num_iters=4)
     ald_cfg = ALDConfig(n_steps_each=n_steps, step_lr=config.sampling.step_lr)
 
     # params are an explicit jit argument: closing over them would inline
@@ -144,11 +148,12 @@ def main():
     sigma_last = sigmas[-1]
 
     @jax.jit
-    def level_step(params, xr, xi, yr, yi, c, sigma, key):
+    def level_step(params, prox, xr, xi, yr, yi, c, sigma, key):
         """One sigma level (n_steps inner updates + prox). Compiles like a
         single forward; the level loop runs on the host with async dispatch
         - the fallback when the remote-compile service rejects the full
-        scanned program."""
+        scanned program. The proximal is a jit ARGUMENT (pytree): closing
+        over it would inline the coil maps + baked A^H y as HLO constants."""
         def score_fn(x, labels):
             return module.apply({"params": params}, x, sigmas[labels])
         step_size = ald_cfg.step_lr * (sigma / sigma_last) ** 2
@@ -161,17 +166,21 @@ def main():
             g_re, g_im = unstack_parts(grads)
             xr = _langevin_update(xr, g_re, step_size, k_re)
             xi = _langevin_update(xi, g_im, step_size, k_im)
-            xr, xi = proximal(xr, xi, yr, yi,
-                              ald_cfg.step_lr * 5.0, 1.0)
+            xr, xi = prox(xr, xi, yr, yi,
+                          ald_cfg.step_lr * 5.0, 1.0)
             return xr, xi, key
 
         return jax.lax.fori_loop(0, ald_cfg.n_steps_each, inner,
                                  (xr, xi, key))
 
+    from inverseproblemwithdiffusionmodel_tpu.samplers.ald_pair import (
+        _bake_ahy)
+
     def recon_steps(params, yr, yi, k):
         xr, xi = lin_tfm.conj_op(yr, yi)
+        prox = _bake_ahy(proximal, xr, xi)
         for c in range(levels):
-            xr, xi, k = level_step(params, xr, xi, yr, yi,
+            xr, xi, k = level_step(params, prox, xr, xi, yr, yi,
                                    jnp.int32(c), sigmas[c], k)
         return xr, xi
 

@@ -283,7 +283,7 @@ def main(argv=None):
     # ---- ALD conditions -------------------------------------------------
     cfg = ALDConfig(n_steps_each=args.n_steps_each, step_lr=args.step_lr)
     B = args.chains
-    prox = PairL2Penalty(lin_tfm=pair_op, num_iters=6)
+    prox = PairL2Penalty.with_normal_kernel(pair_op, num_iters=6)
 
     def run(idx, lr_scaled, seg_lamda=None, key_off=0):
         """One chain-chunk ensemble; returns (mean_mag, (nrmse, ssim, dice))."""

@@ -210,7 +210,7 @@ def main(argv=None):
 
     def make_recon(lr_scaled):
         return make_stepped_pair_reconstructor(
-            fwd, sigmas, opB, PairL2Penalty(lin_tfm=opB, num_iters=6), cfg,
+            fwd, sigmas, opB, PairL2Penalty.with_normal_kernel(opB, num_iters=6), cfg,
             lr_scaled=lr_scaled)
 
     # data-consistency weight tuned on the val slice with one chain chunk

@@ -378,7 +378,7 @@ def main(argv=None):
             opB = make_op(B)
             yrB = jnp.tile(yr1, (1, B, 1, 1, 1))
             yiB = jnp.tile(yi1, (1, B, 1, 1, 1))
-            proxB = PairL2Penalty(lin_tfm=opB, num_iters=4)
+            proxB = PairL2Penalty.with_normal_kernel(opB, num_iters=4)
             ald_cfg = ALDConfig(n_steps_each=args.n_steps_each,
                                 step_lr=args.step_lr)
             only = (None if args.only is None

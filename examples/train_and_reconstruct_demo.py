@@ -154,7 +154,7 @@ def main(argv=None):
     # gives firm data consistency (the reference's single-SGD-step prox is
     # ~1000x weaker per step and leans on its 6933-step chains instead)
     recon = make_stepped_pair_reconstructor(
-        module, sigmas, op, PairL2Penalty(lin_tfm=op, num_iters=6), cfg,
+        module, sigmas, op, PairL2Penalty.with_normal_kernel(op, num_iters=6), cfg,
         lr_scaled=args.lr_scaled)
 
     t0 = time.time()
@@ -177,7 +177,7 @@ def main(argv=None):
                 return out.astype(jnp.float32)
 
         recon_bf = make_stepped_pair_reconstructor(
-            _BF16Wrap(), sigmas, op, PairL2Penalty(lin_tfm=op, num_iters=6),
+            _BF16Wrap(), sigmas, op, PairL2Penalty.with_normal_kernel(op, num_iters=6),
             cfg, lr_scaled=args.lr_scaled)
         t0 = time.time()
         xrb, xib = recon_bf(ema_params, yr_b, yi_b, jax.random.PRNGKey(9))

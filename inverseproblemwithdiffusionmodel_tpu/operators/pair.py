@@ -74,21 +74,115 @@ def _pair_dot(ar, ai, br, bi) -> jnp.ndarray:
     return jnp.sum(ar * br + ai * bi)
 
 
+def line_mask_normal_kernel(mask) -> Pair:
+    """Precomputed normal-equation kernel K = F_c^H diag(m) F_c for a
+    Cartesian line mask (constant along H, shape (M0, 1, W, 1)).
+
+    Because the mask only depends on the W (readout-line) index, the H-axis
+    DFTs cancel in A^H A = F^H M F: the whole masked-Fourier normal operator
+    collapses to ONE W x W Hermitian matrix applied along the W axis — a
+    single MXU matmul per CG iteration instead of two full DFT round trips
+    (4 matmul-axis applications). Returns (Kr, Ki) of shape (M0, W, W).
+    """
+    import numpy as np
+    from ..ops.fft_pair import _dft_mats
+
+    m = np.asarray(mask, np.float32)
+    if m.ndim != 4 or m.shape[1] != 1 or m.shape[-1] != 1:
+        raise ValueError(f"expected a line mask of shape (M0,1,W,1), "
+                         f"got {m.shape}")
+    W = m.shape[2]
+    fr, fi = _dft_mats(W, inverse=False)
+    Fc = fr.astype(np.complex64) + 1j * fi.astype(np.complex64)
+    lines = m[:, 0, :, 0]                                   # (M0, W)
+    K = np.einsum("vw,mv,vu->mwu", Fc.conj(), lines, Fc)    # F^H diag(m) F
+    return (jnp.asarray(K.real.astype(np.float32)),
+            jnp.asarray(K.imag.astype(np.float32)))
+
+
+def _apply_line_kernel(kr: jnp.ndarray, ki: jnp.ndarray,
+                       xr: jnp.ndarray, xi: jnp.ndarray) -> Pair:
+    """Apply the (M0, W, W) complex kernel along the W axis of an
+    (..., N, H, W, C) pair (M0 == 1 broadcasts; M0 == N is per-row, e.g.
+    per-frame cine masks tiled to the chain axis). Karatsuba: 3 real
+    contractions."""
+    if kr.shape[0] == 1:
+        def mat(m, v):
+            return jnp.moveaxis(jnp.tensordot(m, v, axes=(1, v.ndim - 2)),
+                                0, v.ndim - 2)
+        kr2, ki2 = kr[0], ki[0]
+    else:
+        def mat(m, v):
+            return jnp.einsum("nwv,...nhvc->...nhwc", m, v)
+        kr2, ki2 = kr, ki
+    t1 = mat(kr2, xr)
+    t2 = mat(ki2, xi)
+    t3 = mat(kr2 + ki2, xr + xi)
+    return t1 - t2, t3 - t1 - t2
+
+
 class PairL2Penalty(struct.PyTreeNode):
     """CG solve of (I + c A^H A) x = z + c A^H y on pairs
-    (cf. operators/proximal.py L2Penalty)."""
+    (cf. operators/proximal.py L2Penalty).
+
+    `kernel_re/kernel_im` (see `with_normal_kernel`) switch A^H A to the
+    precomputed line-mask normal kernel (one matmul per coil per CG
+    iteration instead of two DFT round trips); `ahy_re/ahy_im` pin a
+    precomputed A^H y (loop-invariant across a sampling chain — hoist it
+    out of the hot loop). Both are opt-in; the default path is the direct
+    operator composition."""
     lin_tfm: PairSENSE
     num_iters: int = struct.field(pytree_node=False, default=8)
+    kernel_re: Optional[jnp.ndarray] = None
+    kernel_im: Optional[jnp.ndarray] = None
+    ahy_re: Optional[jnp.ndarray] = None
+    ahy_im: Optional[jnp.ndarray] = None
+
+    @classmethod
+    def with_normal_kernel(cls, lin_tfm, num_iters: int = 8,
+                           measurement: Optional[Pair] = None
+                           ) -> "PairL2Penalty":
+        """Fast path: precompute the W x W normal kernel from the line mask
+        (valid for any mask constant along H — every Cartesian mask here)
+        and, when the fixed `measurement` (yr, yi) is known up front, the
+        loop-invariant A^H y."""
+        kr, ki = line_mask_normal_kernel(lin_tfm.mask)
+        ahy_r = ahy_i = None
+        if measurement is not None:
+            ahy_r, ahy_i = lin_tfm.conj_op(*measurement)
+        return cls(lin_tfm=lin_tfm, num_iters=num_iters,
+                   kernel_re=kr, kernel_im=ki, ahy_re=ahy_r, ahy_im=ahy_i)
+
+    def _normal(self, vr, vi) -> Pair:
+        """A^H A v via the precomputed line-mask kernel."""
+        lin = self.lin_tfm
+        if hasattr(lin, "sens_re"):                          # SENSE
+            cr, ci = cmul(lin.sens_re[:, None], lin.sens_im[:, None],
+                          vr[None], vi[None])
+            kr, ki = _apply_line_kernel(self.kernel_re, self.kernel_im,
+                                        cr, ci)
+            rr, ri = cconj_mul(lin.sens_re[:, None], lin.sens_im[:, None],
+                               kr, ki)
+            return jnp.sum(rr, axis=0), jnp.sum(ri, axis=0)
+        return _apply_line_kernel(self.kernel_re, self.kernel_im, vr, vi)
 
     def __call__(self, zr, zi, yr, yi, alpha, lamda) -> Pair:
         c = alpha / lamda
-        ar, ai = self.lin_tfm.conj_op(yr, yi)
+        if self.ahy_re is not None:
+            ar, ai = self.ahy_re, self.ahy_im
+        else:
+            ar, ai = self.lin_tfm.conj_op(yr, yi)
         br, bi = zr + c * ar, zi + c * ai
 
-        def op(vr, vi):
-            fr, fi = self.lin_tfm(vr, vi)
-            gr, gi = self.lin_tfm.conj_op(fr, fi)
-            return vr + c * gr, vi + c * gi
+        if self.kernel_re is not None:
+            def op(vr, vi):
+                nr, ni = self._normal(vr, vi)
+                return vr + c * nr, vi + c * ni
+        else:
+            def op(vr, vi):
+                fr, fi = self.lin_tfm(vr, vi)
+                gr, gi = self.lin_tfm.conj_op(fr, fi)
+                return vr + c * gr, vi + c * gi
 
         # CG on the pair (a complex Hermitian system solved in R^2n)
         x = (zr, zi)

@@ -20,6 +20,18 @@ from .sigmas import get_lh_weights
 from ..utils.misc import stack_parts, unstack_parts
 
 
+def _bake_ahy(proximal, ahy_r: jnp.ndarray, ahy_i: jnp.ndarray):
+    """Pin the loop-invariant A^H y into a PairL2Penalty so the CG setup
+    reuses it instead of recomputing a full SENSE adjoint every inner step.
+    The samplers already compute A^H y once as the chain init — rebaking it
+    here (a pytree `.replace`, traced values welcome) makes the hoist
+    explicit rather than relying on XLA's loop-invariant code motion."""
+    from ..operators.pair import PairL2Penalty
+    if isinstance(proximal, PairL2Penalty) and proximal.ahy_re is None:
+        return proximal.replace(ahy_re=ahy_r, ahy_im=ahy_i)
+    return proximal
+
+
 def ald_inverse_proximal_pair(
     score_fn: ScoreFn,
     sigmas: jnp.ndarray,
@@ -42,6 +54,7 @@ def ald_inverse_proximal_pair(
     config.snapshot_every levels (see ald._maybe_snapshot)."""
     yr, yi = measurement
     x_re, x_im = lin_tfm.conj_op(yr, yi)
+    proximal = _bake_ahy(proximal, x_re, x_im)
     sigma_last = sigmas[-1]
     L = sigmas.shape[0]
     lh_weights = get_lh_weights(sigmas, seg_start_time, seg_step_type)
@@ -204,6 +217,7 @@ def ald_2d_time_pair(
     finite_diff = FiniteDiff(dims=1)
 
     xr, xi = lin_tfm.conj_op(yr, yi)
+    proximal = _bake_ahy(proximal, xr, xi)   # prox runs on the flat (B*T) layout
     xr = xr.reshape(B, T, H, W, C)
     xi = xi.reshape(B, T, H, W, C)
     sigma_last = sigmas[-1]
@@ -279,8 +293,11 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
     # a baked constant: every grid point / test slice shares one compiled
     # program (identical HLO -> persistent-cache hit even across factory
     # instances)
+    # the proximal travels as a jit ARGUMENT (it's a pytree holding the
+    # mask/coil maps and, after _bake_ahy, the precomputed A^H y) — closing
+    # over it would inline megabytes of HLO constants (see module docstring)
     @jax.jit
-    def level_step(params, xr, xi, yr, yi, c, sigma, lh_w, lr_scaled_t,
+    def level_step(params, prox, xr, xi, yr, yi, c, sigma, lh_w, lr_scaled_t,
                    seg_lamda_t, seg_params_t, seg_label_t, key):
         def score_fn(x, labels):
             return module.apply({"params": params}, x, sigmas[labels])
@@ -300,8 +317,8 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
             g_re, g_im = unstack_parts(grads)
             xr = _langevin_update(xr, g_re, step_size, k_re)
             xi = _langevin_update(xi, g_im, step_size, k_im)
-            xr, xi = proximal(xr, xi, yr, yi,
-                              config.step_lr * lr_scaled_t, 1.0)
+            xr, xi = prox(xr, xi, yr, yi,
+                          config.step_lr * lr_scaled_t, 1.0)
             return xr, xi, key
 
         return jax.lax.fori_loop(0, config.n_steps_each, inner,
@@ -321,8 +338,9 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
 
     def recon(params, yr, yi, key):
         xr, xi = lin_tfm.conj_op(yr, yi)
+        prox = _bake_ahy(proximal, xr, xi)
         for c in range(L):
-            xr, xi, key = level_step(params, xr, xi, yr, yi,
+            xr, xi, key = level_step(params, prox, xr, xi, yr, yi,
                                      jnp.int32(c), sigmas[c],
                                      lh_weights[c], lr_scaled_t,
                                      seg_lamda_t, seg_params, seg_label2,
@@ -371,8 +389,8 @@ def make_stepped_2d_time_pair_reconstructor(
     finite_diff = FiniteDiff(dims=1)
 
     @jax.jit
-    def level_step(params_S, params_T, xr, xi, yr, yi, c, label_T, sigma,
-                   sigma_T, lr_scaled_t, lamda_T_t, key):
+    def level_step(params_S, params_T, prox, xr, xi, yr, yi, c, label_T,
+                   sigma, sigma_T, lr_scaled_t, lamda_T_t, key):
         def score_S(x, labels):
             return module_S.apply({"params": params_S}, x, sigmas[labels])
 
@@ -381,7 +399,7 @@ def make_stepped_2d_time_pair_reconstructor(
                                   sigmas_T_raw[labels])
 
         inner_fn = _pair_2d_time_inner(
-            score_S, score_T, proximal, finite_diff, config, mode_T,
+            score_S, score_T, prox, finite_diff, config, mode_T,
             if_random_shift, win_size, sigma_last, sigma_T_last)
 
         def inner(_, state):
@@ -399,10 +417,12 @@ def make_stepped_2d_time_pair_reconstructor(
         T = num_frames if num_frames is not None else BT
         B = BT // T
         xr, xi = lin_tfm.conj_op(yr, yi)
+        prox = _bake_ahy(proximal, xr, xi)   # prox runs on the flat layout
         xr = xr.reshape(B, T, H, W, C)
         xi = xi.reshape(B, T, H, W, C)
         for c in range(L):
-            xr, xi, key = level_step(params_S, params_T, xr, xi, yr, yi,
+            xr, xi, key = level_step(params_S, params_T, prox, xr, xi,
+                                     yr, yi,
                                      jnp.int32(c), labels_T[c], sigmas[c],
                                      sigmas_T_full[c], lr_scaled_t,
                                      lamda_T_t, key)

@@ -104,6 +104,94 @@ def test_pair_prox_matches_complex(sense_pair):
                                atol=1e-4)
 
 
+def test_line_mask_normal_kernel_matches_operator(sense_pair):
+    """The precomputed W x W normal kernel (H-axis DFTs cancel for line
+    masks) equals the direct A^H A composition — SENSE, single-coil, and
+    per-frame (tiled) mask variants."""
+    from inverseproblemwithdiffusionmodel_tpu.operators.pair import (
+        line_mask_normal_kernel)
+    _, pair = sense_pair
+    key = jax.random.PRNGKey(7)
+    xr = jax.random.normal(key, (3, H, W, 1))
+    xi = jax.random.normal(jax.random.fold_in(key, 1), (3, H, W, 1))
+
+    # kernel is Hermitian: K^H == K
+    kr, ki = line_mask_normal_kernel(pair.mask)
+    np.testing.assert_allclose(np.asarray(kr),
+                               np.swapaxes(np.asarray(kr), -1, -2), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(ki),
+                               -np.swapaxes(np.asarray(ki), -1, -2), atol=1e-6)
+
+    # SENSE
+    gr, gi = pair.conj_op(*pair(xr, xi))
+    pk = PairL2Penalty.with_normal_kernel(pair)
+    nr, ni = pk._normal(xr, xi)
+    np.testing.assert_allclose(np.asarray(nr), np.asarray(gr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ni), np.asarray(gi), atol=1e-4)
+
+    # single-coil
+    single = PairRandomUndersamplingFourier(mask=pair.mask)
+    gr, gi = single.conj_op(*single(xr, xi))
+    nr, ni = PairL2Penalty.with_normal_kernel(single)._normal(xr, xi)
+    np.testing.assert_allclose(np.asarray(nr), np.asarray(gr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ni), np.asarray(gi), atol=1e-4)
+
+    # per-frame masks tiled to the chain axis (M0 == B, cine 2D+time layout)
+    maskB = (jax.random.uniform(jax.random.fold_in(key, 2),
+                                (3, 1, W, 1)) > 0.4).astype(jnp.float32)
+    linB = PairSENSE(mask=maskB, sens_re=pair.sens_re, sens_im=pair.sens_im)
+    gr, gi = linB.conj_op(*linB(xr, xi))
+    nr, ni = PairL2Penalty.with_normal_kernel(linB)._normal(xr, xi)
+    np.testing.assert_allclose(np.asarray(nr), np.asarray(gr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ni), np.asarray(gi), atol=1e-4)
+
+
+def test_prox_normal_kernel_matches_default(sense_pair):
+    """with_normal_kernel (+ precomputed A^H y) solves the same system as
+    the default operator-composition CG, inside a full ALD chain too."""
+    sense, pair = sense_pair
+    z = rand_complex(jax.random.PRNGKey(8), (2, H, W, 1))
+    y = sense(rand_complex(jax.random.PRNGKey(9), (2, H, W, 1)))
+    yr, yi = jnp.real(y), jnp.imag(y)
+    p0 = PairL2Penalty(lin_tfm=pair, num_iters=5)
+    pk = PairL2Penalty.with_normal_kernel(pair, num_iters=5,
+                                          measurement=(yr, yi))
+    a0 = p0(jnp.real(z), jnp.imag(z), yr, yi, 0.3, 1.0)
+    ak = pk(jnp.real(z), jnp.imag(z), yr, yi, 0.3, 1.0)
+    np.testing.assert_allclose(np.asarray(ak[0]), np.asarray(a0[0]),
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ak[1]), np.asarray(a0[1]),
+                               atol=1e-4)
+
+    # whole-chain equivalence under the scanned sampler
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    mag = jnp.exp(-(((yy - 8) ** 2 + (xx - 6) ** 2) / 20.0))[None, :, :, None]
+    target = mag.astype(jnp.complex64)
+    ym = sense(target)
+    sigmas = sigma_ladder(1.0, 0.01, 12)
+
+    def score_fn(x, labels):
+        sig = sigmas[labels].reshape(-1, *([1] * (x.ndim - 1)))
+        tgt = stack_parts(jnp.real(target), jnp.imag(target))
+        return (tgt - x) / sig ** 2
+
+    cfg = ALDConfig(n_steps_each=2, step_lr=3e-5)
+    ymr, ymi = jnp.real(ym), jnp.imag(ym)
+    ref = ald_inverse_proximal_pair(
+        score_fn, sigmas, (ymr, ymi), pair,
+        PairL2Penalty(lin_tfm=pair, num_iters=4),
+        jax.random.PRNGKey(0), cfg, lr_scaled=50.0)
+    out = ald_inverse_proximal_pair(
+        score_fn, sigmas, (ymr, ymi), pair,
+        PairL2Penalty.with_normal_kernel(pair, num_iters=4,
+                                         measurement=(ymr, ymi)),
+        jax.random.PRNGKey(0), cfg, lr_scaled=50.0)
+    np.testing.assert_allclose(np.asarray(out[0]), np.asarray(ref[0]),
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(out[1]), np.asarray(ref[1]),
+                               atol=1e-3)
+
+
 def test_pair_ald_matches_complex_sampler(sense_pair):
     """Full pair reconstruction == complex reconstruction (same keys)."""
     sense, pair = sense_pair
