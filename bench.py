@@ -115,22 +115,32 @@ def main():
     # remote-compile request bodies blow past size limits)
     mode = os.environ.get("BENCH_MODE", "steps")
     dtype = os.environ.get("BENCH_DTYPE", "bf16" if not on_cpu else "f32")
-    if dtype == "bf16":
-        # quality-validated on trained weights: recon NRMSE/SSIM identical
-        # to f32 (examples/train_and_reconstruct_demo.py bf16 check)
+    if dtype in ("bf16", "int8"):
+        # bf16 quality-validated on trained weights: recon NRMSE/SSIM
+        # identical to f32; int8 (bf16 glue + s8xs8->s32 MXU convs,
+        # ops/quant.py) validated to recon-metric parity — both checks in
+        # examples/train_and_reconstruct_demo.py
         fwd_module = module
+        if dtype == "int8":
+            from inverseproblemwithdiffusionmodel_tpu.ops.quant import (
+                quantized_convs)
 
-        class _BF16Module:
+        class _LowPrecModule:
             @staticmethod
             def apply(variables, x, cond):
-                pbf = jax.tree_util.tree_map(
-                    lambda v: v.astype(jnp.bfloat16), variables["params"])
-                out = fwd_module.apply({"params": pbf},
-                                       x.astype(jnp.bfloat16),
-                                       cond.astype(jnp.bfloat16))
-                return out.astype(jnp.float32)
+                def fwd():
+                    pbf = jax.tree_util.tree_map(
+                        lambda v: v.astype(jnp.bfloat16), variables["params"])
+                    out = fwd_module.apply({"params": pbf},
+                                           x.astype(jnp.bfloat16),
+                                           cond.astype(jnp.bfloat16))
+                    return out.astype(jnp.float32)
+                if dtype == "int8":
+                    with quantized_convs("int8"):
+                        return fwd()
+                return fwd()
 
-        module = _BF16Module()
+        module = _LowPrecModule()
 
     @jax.jit
     def recon_scan(params, yr, yi, k):

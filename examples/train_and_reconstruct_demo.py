@@ -191,6 +191,32 @@ def main(argv=None):
               f"SSIM {bf16_metrics['bf16_ssim']:.4f} "
               f"({bf16_metrics['bf16_wall_s']}s)", flush=True)
 
+        # int8 serving path (ops/quant.py): bf16 glue + s8xs8->s32 MXU
+        # convs — the quality gate the quant docstrings point at
+        from inverseproblemwithdiffusionmodel_tpu.ops.quant import (
+            quantized_convs)
+
+        class _Int8Wrap:
+            def apply(self, variables, x, cond):
+                with quantized_convs("int8"):
+                    return _BF16Wrap().apply(variables, x, cond)
+
+        recon_q = make_stepped_pair_reconstructor(
+            _Int8Wrap(), sigmas, op,
+            PairL2Penalty.with_normal_kernel(op, num_iters=6),
+            cfg, lr_scaled=args.lr_scaled)
+        t0 = time.time()
+        xrq, xiq = recon_q(ema_params, yr_b, yi_b, jax.random.PRNGKey(9))
+        mag_q = jnp.sqrt(xrq ** 2 + xiq ** 2).mean(axis=0)
+        bf16_metrics.update({
+            "int8_nrmse": float(nrmse(mag_q, jnp.abs(truth[0]))),
+            "int8_ssim": float(ssim(mag_q[..., 0], jnp.abs(truth[0, ..., 0]))),
+            "int8_wall_s": round(time.time() - t0, 1),
+        })
+        print(f"[demo] int8 recon: NRMSE {bf16_metrics['int8_nrmse']:.4f} / "
+              f"SSIM {bf16_metrics['int8_ssim']:.4f} "
+              f"({bf16_metrics['int8_wall_s']}s)", flush=True)
+
     t_mag = jnp.abs(truth[0])
     m = {
         "zf_nrmse": float(nrmse(zf_mag[0], t_mag)),

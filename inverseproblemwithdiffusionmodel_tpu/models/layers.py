@@ -22,6 +22,8 @@ import jax.numpy as jnp
 from jax import lax
 import flax.linen as nn
 
+from ..ops import quant
+
 
 # ---------------------------------------------------------------------------
 # Activations (reference: ncsn/models/layers.py:11-23)
@@ -93,13 +95,25 @@ class Conv(nn.Module):
         if self.pre_pad is not None:
             pads = [(p0 + self.pre_pad[0], p1 + self.pre_pad[1])
                     for p0, p1 in pads]
-        out = lax.conv_general_dilated(
-            x, kernel,
-            window_strides=(self.stride,) * self.ndim,
-            padding=pads,
-            rhs_dilation=(self.dilation,) * self.ndim,
-            dimension_numbers=_dim_numbers(self.ndim),
-        )
+        if quant.conv_quant_mode() == "int8":
+            # serving fast path: s8 x s8 -> s32 on the MXU (2x bf16 rate on
+            # v5e), dynamic per-tensor act scale + per-out-channel weight
+            # scale; enabled per-trace via ops.quant.quantized_convs
+            out = quant.int8_conv(
+                x, kernel,
+                window_strides=(self.stride,) * self.ndim,
+                padding=pads,
+                rhs_dilation=(self.dilation,) * self.ndim,
+                dimension_numbers=_dim_numbers(self.ndim),
+            )
+        else:
+            out = lax.conv_general_dilated(
+                x, kernel,
+                window_strides=(self.stride,) * self.ndim,
+                padding=pads,
+                rhs_dilation=(self.dilation,) * self.ndim,
+                dimension_numbers=_dim_numbers(self.ndim),
+            )
         if self.use_bias:
             fan_in = int(np.prod(kernel_shape[:-1]))
             bound = 1.0 / math.sqrt(fan_in)

@@ -132,6 +132,14 @@ def make_score_fn(module, params, sigmas: jnp.ndarray,
     compute_dtype=jnp.bfloat16 runs the network forward in bf16 (params and
     activations cast in, output cast back to f32) — ~2x MXU throughput on
     TPU; the Langevin state itself stays f32.
+
+    compute_dtype="int8" is an opt-in serving mode: bf16 params/activations
+    plus int8 MXU convs (ops.quant). Inference-only (round has zero
+    gradient); norms/activations/resampling stay bf16, dequantized per
+    conv. Quality-validated end-to-end against f32 reconstruction in
+    examples/train_and_reconstruct_demo.py; end-to-end throughput is only
+    ~+2.6% over bf16 (dynamic-quant HBM passes offset the 2x MXU rate —
+    see ops/quant.py), so bf16 stays the default.
     """
     sigmas = jnp.asarray(sigmas)
 
@@ -139,6 +147,10 @@ def make_score_fn(module, params, sigmas: jnp.ndarray,
         def score_fn(x, labels):
             return module.apply({"params": params}, x, sigmas[labels])
         return score_fn
+
+    quant_int8 = compute_dtype == "int8"
+    if quant_int8:
+        compute_dtype = jnp.bfloat16
 
     cast_params = jax.tree_util.tree_map(
         lambda p: p.astype(compute_dtype), params)
@@ -148,6 +160,17 @@ def make_score_fn(module, params, sigmas: jnp.ndarray,
                            x.astype(compute_dtype),
                            sigmas[labels].astype(compute_dtype))
         return out.astype(jnp.float32)
+
+    if quant_int8:
+        from ..ops.quant import quantized_convs
+        plain_score_fn = score_fn
+
+        def score_fn(x, labels):
+            # the context flips Conv's lowering at TRACE time; score_fn is a
+            # fresh closure per make_score_fn call, so each jit of it owns
+            # its compilation (no cross-mode cache aliasing)
+            with quantized_convs("int8"):
+                return plain_score_fn(x, labels)
 
     return score_fn
 
