@@ -1,9 +1,8 @@
 """int8 conv quantization — the serving fast path for score-net forwards.
 
 The ALD hot loop is compute-bound in the score network's 3x3 convs
-(ARCHITECTURE.md "Performance summary"); on TPU v5e the MXU runs int8 at
-2x the bf16 rate (measured on-chip: 226 vs 112 TFLOP/s on the NCSNv2Deepest
-conv shapes). This module provides that path without touching model code:
+(ARCHITECTURE.md "Performance summary"); the v5e MXU's int8 peak is 2x the
+bf16 rate, and this module provides that path without touching model code:
 
 - weights: symmetric per-OUTPUT-CHANNEL int8 (scale = amax / 127 over each
   (*, *, I) slice), computed inside the traced forward — XLA hoists the
@@ -32,11 +31,15 @@ examples/train_and_reconstruct_demo.py (int8 recon NRMSE 0.2137 vs f32
 0.2138, SSIM 0.553 vs 0.554 on trained weights).
 
 Measured end-to-end (bench.py BENCH_DTYPE=int8, 256^2 ngf128 16 chains):
-92.56 vs 90.17 bf16 chain-steps/s/chip — only +2.6%. The dynamic
-quantization costs ~1.5 extra HBM passes per conv input (amax reduction +
-int8 rewrite), which at these activation sizes eats most of the MXU win;
-closing the gap needs a fused producer kernel (norm/ELU -> amax -> int8
-write in one pallas pass). int8 is therefore opt-in; bf16 is the default.
+92.56 vs 90.17 bf16 chain-steps/s/chip — only +2.6%. Isolated at the hot
+conv shape (amortized 12-conv chains, (32,256,256,128) x 3x3x128x128,
+2026-08-19): bf16 109 TFLOP/s; int8 with static scales 138 (1.27x — XLA's
+s8xs8->s32 conv at this shape is far from the 2x MXU peak ratio); int8
+with the dynamic per-conv amax+rewrite 124 (the quant passes cost ~10%).
+So the achievable conv-level win is ~1.13x and even a fused
+producer-quant pallas kernel (norm/ELU -> amax -> s8 write) would only
+recover ~+7% end-to-end — not worth the kernel. int8 stays opt-in; bf16
+is the default.
 
 Reference scope: the reference has no quantized path (fp32 CUDA convs,
 ncsn/models/ncsnv2.py); this is a TPU-native serving addition.
