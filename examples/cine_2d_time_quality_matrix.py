@@ -166,6 +166,12 @@ def main(argv=None):
     p.add_argument("--n_steps_each", type=int, default=5)
     p.add_argument("--step_lr", type=float, default=6.2e-6)
     p.add_argument("--lr_scaled", type=float, default=30000.0)
+    p.add_argument("--lr_scaleds", type=float, nargs="+", default=None,
+                   help="data-consistency weight grid for the ALD variants, "
+                        "tuned jointly with lamda_T on video 0 (recon "
+                        "quality depends sharply on it — the ACDC R=40 "
+                        "optimum was 30x the 3e4 default; see CLAUDE.md). "
+                        "Default: just --lr_scaled")
     p.add_argument("--ald_lamdas", type=float, nargs="+",
                    default=[1.0, 3.0, 10.0],
                    help="temporal-step-size multipliers for the full ALD "
@@ -384,10 +390,12 @@ def main(argv=None):
             only = (None if args.only is None
                     else {v.strip() for v in args.only.split(",")})
 
-            def run_ald(mode_T, lamda_T, key_off):
+            lr_grid = args.lr_scaleds or [args.lr_scaled]
+
+            def run_ald(mode_T, lamda_T, lr_scaled, key_off):
                 recon = make_stepped_2d_time_pair_reconstructor(
                     fwd_S, fwd_T, sigmas_S, sigmas_T, opB, proxB, ald_cfg,
-                    lr_scaled=args.lr_scaled, mode_T=mode_T,
+                    lr_scaled=lr_scaled, mode_T=mode_T,
                     lamda_T=lamda_T, if_random_shift=args.random_shift,
                     win_size=win, num_frames=T)
                 xr, xi = recon(params_S, params_T, yrB, yiB,
@@ -404,18 +412,21 @@ def main(argv=None):
                 if vid == 0:
                     best = None
                     for lam in grid:
-                        n, s, m = run_ald(mode_T, lam, 11 + vid)
-                        if len(grid) > 1:
-                            log(f"R={R} vid0 {name} lamda_T={lam}: "
-                                f"NRMSE {n:.4f} SSIM {s:.4f}")
-                        if best is None or n < best[0]:
-                            best = (n, s, lam, m)
-                    n, s, lam, mags_R[name] = best
-                    tuned.setdefault(f"R_{R}", {})[name] = lam
+                        for lrs in lr_grid:
+                            n, s, m = run_ald(mode_T, lam, lrs, 11 + vid)
+                            if len(grid) > 1 or len(lr_grid) > 1:
+                                log(f"R={R} vid0 {name} lamda_T={lam} "
+                                    f"lr_scaled={lrs:g}: "
+                                    f"NRMSE {n:.4f} SSIM {s:.4f}")
+                            if best is None or n < best[0]:
+                                best = (n, s, (lam, lrs), m)
+                    n, s, (lam, lrs), mags_R[name] = best
+                    tuned.setdefault(f"R_{R}", {})[name] = (lam, lrs)
                 else:
-                    lam = tuned[f"R_{R}"][name]
-                    n, s, _ = run_ald(mode_T, lam, 11 + vid)
-                log(f"R={R} vid{vid} {name} (lamda_T={lam}): NRMSE {n:.4f} "
+                    lam, lrs = tuned[f"R_{R}"][name]
+                    n, s, _ = run_ald(mode_T, lam, lrs, 11 + vid)
+                log(f"R={R} vid{vid} {name} (lamda_T={lam}, "
+                    f"lr_scaled={lrs:g}): NRMSE {n:.4f} "
                     f"SSIM {s:.4f} ({time.time() - t0:.0f}s)")
                 out_R.setdefault(name, []).append((n, s))
 
