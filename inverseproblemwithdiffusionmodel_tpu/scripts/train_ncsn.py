@@ -55,7 +55,7 @@ def main(argv=None):
                    help="accumulate gradients over N micro-batches "
                         "(optax.MultiSteps) — the memory-cheap route to "
                         "large effective batches (prefer this over --remat; "
-                        "see runs/tpu_train_throughput). EMA decays every "
+                        "see docs/RESULTS_TRAIN_THROUGHPUT.md). EMA decays every "
                         "micro-step, so its effective per-update decay is "
                         "ema_rate**N")
     p.add_argument("--filter_th", type=float, default=None,
