@@ -94,6 +94,11 @@ def line_mask_normal_kernel(mask) -> Pair:
     W = m.shape[2]
     fr, fi = _dft_mats(W, inverse=False)
     Fc = fr.astype(np.complex64) + 1j * fi.astype(np.complex64)
+    # diag(m), not diag(m^2): the pair operators' conj_op deliberately
+    # skips re-applying the mask (measurements live on the mask support,
+    # like the reference SkipLines zero-pad adjoint), so the CG normal
+    # operator this kernel replaces is conj_op(forward(.)) = F^H diag(m) F
+    # for ANY real mask — the two paths agree by construction
     lines = m[:, 0, :, 0]                                   # (M0, W)
     K = np.einsum("vw,mv,vu->mwu", Fc.conj(), lines, Fc)    # F^H diag(m) F
     return (jnp.asarray(K.real.astype(np.float32)),

@@ -145,6 +145,18 @@ def test_line_mask_normal_kernel_matches_operator(sense_pair):
     np.testing.assert_allclose(np.asarray(nr), np.asarray(gr), atol=1e-4)
     np.testing.assert_allclose(np.asarray(ni), np.asarray(gi), atol=1e-4)
 
+    # weighted (non-binary) line mask: both paths use the conj_op
+    # convention (no re-masking in the adjoint), so the kernel must be
+    # diag(m) — this pins the two paths against being "fixed" to diag(m^2)
+    # independently of each other
+    maskw = maskB * jax.random.uniform(jax.random.fold_in(key, 3),
+                                       (3, 1, W, 1), minval=0.3, maxval=2.0)
+    linw = PairSENSE(mask=maskw, sens_re=pair.sens_re, sens_im=pair.sens_im)
+    gr, gi = linw.conj_op(*linw(xr, xi))
+    nr, ni = PairL2Penalty.with_normal_kernel(linw)._normal(xr, xi)
+    np.testing.assert_allclose(np.asarray(nr), np.asarray(gr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ni), np.asarray(gi), atol=1e-4)
+
 
 def test_prox_normal_kernel_matches_default(sense_pair):
     """with_normal_kernel (+ precomputed A^H y) solves the same system as
