@@ -28,6 +28,13 @@ import time
 
 import jax
 
+# Honor JAX_PLATFORMS explicitly: the axon sitecustomize pins
+# jax_platforms at interpreter start, so the env var alone is ignored —
+# without this, a CPU-pinned bench invocation (e.g. the driver-hook smoke
+# test) silently talks to the TPU relay instead.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # persistent compilation cache: recon compiles once per geometry, later
 # bench invocations (and driver re-runs) start in seconds
 jax.config.update("jax_compilation_cache_dir",
