@@ -133,7 +133,7 @@ SCRIPTS = [
     "cine_inv_sampling_keep_center_prox_real_imag",
     "cine_SENSE_real_img_2d_time", "cine_SENSE_real_img_2d_time_MAP",
     "generate_train_ncsn", "generate_train_seg", "vol2slices", "pc_sampling",
-    "import_torch_checkpoint",
+    "import_torch_checkpoint", "serve_recon",
 ]
 
 

@@ -1,0 +1,252 @@
+"""Serving engine + HTTP server tests (tiny CPU geometry).
+
+The engine must (a) reproduce the library sampler exactly, (b) never
+retrace across requests that vary the measurement/operator/weights, and
+(c) round-trip the wire protocol."""
+import io
+import json
+import urllib.error
+import urllib.request
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from inverseproblemwithdiffusionmodel_tpu.config import Config
+from inverseproblemwithdiffusionmodel_tpu.models.ncsnv2 import NCSNv2
+from inverseproblemwithdiffusionmodel_tpu.models.registry import make_score_fn
+from inverseproblemwithdiffusionmodel_tpu.operators.pair import (
+    PairL2Penalty, PairSENSE)
+from inverseproblemwithdiffusionmodel_tpu.samplers.ald import ALDConfig
+from inverseproblemwithdiffusionmodel_tpu.samplers.ald_pair import (
+    ald_inverse_proximal_pair)
+from inverseproblemwithdiffusionmodel_tpu.samplers.sigmas import sigma_ladder
+from inverseproblemwithdiffusionmodel_tpu.serving import (
+    EngineSpec, ReconstructionEngine)
+from inverseproblemwithdiffusionmodel_tpu.serving.server import serve
+
+H = W = 16
+LEVELS, NSTEPS, CHAINS, NSENS = 3, 2, 4, 2
+
+
+def _tiny_config():
+    return Config({
+        "data": {"channels": 1, "image_size": H, "logit_transform": False,
+                 "rescaled": False},
+        "model": {"ngf": 8, "nonlinearity": "elu",
+                  "normalization": "InstanceNorm++", "sigma_begin": 10.0,
+                  "sigma_end": 0.1, "num_classes": LEVELS,
+                  "sigma_dist": "geometric"},
+    })
+
+
+@pytest.fixture(scope="module")
+def setup():
+    config = _tiny_config()
+    module = NCSNv2(config=config)
+    sigmas = sigma_ladder(10.0, 0.1, LEVELS, "geometric")
+    x0 = jnp.zeros((2, H, W, 1))
+    params = module.init(jax.random.PRNGKey(0), x0, jnp.ones((2,)))["params"]
+
+    rng = np.random.RandomState(0)
+    mask = (rng.rand(1, 1, W, 1) < 0.4).astype(np.float32)
+    mask[..., W // 2 - 1:W // 2 + 1, :] = 1.0
+    maps = rng.rand(NSENS, H, W, 1).astype(np.float32) + 0.2
+    maps = maps / np.sqrt((maps ** 2).sum(axis=0, keepdims=True))
+
+    x = rng.rand(H, W).astype(np.float32)
+    lin = PairSENSE(mask=jnp.asarray(mask), sens_re=jnp.asarray(maps),
+                    sens_im=jnp.zeros_like(jnp.asarray(maps)))
+    yr, yi = lin(jnp.asarray(x)[None, ..., None],
+                 jnp.zeros((1, H, W, 1)))           # (NSENS, 1, H, W, 1)
+    return dict(module=module, params=params, sigmas=sigmas, mask=mask,
+                maps=maps, yr=np.asarray(yr), yi=np.asarray(yi))
+
+
+def _spec(**kw):
+    base = dict(height=H, width=W, channels=1, num_sens=NSENS,
+                chains=CHAINS, levels=LEVELS, n_steps_each=NSTEPS,
+                step_lr=1e-5, lr_scaled=2.0, prox_iters=3, dtype="f32",
+                mode="scan")
+    base.update(kw)
+    return EngineSpec(**base)
+
+
+def _engine(setup, **kw):
+    return ReconstructionEngine(setup["module"], setup["params"],
+                                setup["sigmas"], spec=_spec(**kw),
+                                mask=setup["mask"],
+                                sens_re=setup["maps"])
+
+
+def test_engine_matches_direct_sampler(setup):
+    eng = _engine(setup)
+    res = eng.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0], seed=7)
+
+    # the library path, by hand: tile the measurement over the chains axis
+    lin = eng.default_lin_tfm
+    prox = PairL2Penalty.with_normal_kernel(lin, num_iters=3)
+    yr = jnp.asarray(np.broadcast_to(setup["yr"],
+                                     (NSENS, CHAINS, H, W, 1)))
+    yi = jnp.asarray(np.broadcast_to(setup["yi"],
+                                     (NSENS, CHAINS, H, W, 1)))
+    score_fn = make_score_fn(setup["module"], setup["params"],
+                             setup["sigmas"])
+    xr, xi = ald_inverse_proximal_pair(
+        score_fn, setup["sigmas"], (yr, yi), lin, prox,
+        jax.random.PRNGKey(7),
+        ALDConfig(n_steps_each=NSTEPS, step_lr=1e-5), lr_scaled=2.0)
+
+    np.testing.assert_allclose(res.x_re, np.asarray(xr), rtol=2e-5,
+                               atol=2e-6)
+    np.testing.assert_allclose(res.x_im, np.asarray(xi), rtol=2e-5,
+                               atol=2e-6)
+    assert res.x_re.shape == (CHAINS, H, W, 1)
+    # chains see different noise -> a real ensemble, not CHAINS copies
+    assert np.std(res.x_re, axis=0).max() > 0
+
+
+def test_modes_agree_and_aggregates(setup):
+    r_scan = _engine(setup, mode="scan").reconstruct(
+        setup["yr"][:, 0], setup["yi"][:, 0], seed=3)
+    r_steps = _engine(setup, mode="steps").reconstruct(
+        setup["yr"][:, 0], setup["yi"][:, 0], seed=3)
+    np.testing.assert_allclose(r_scan.x_re, r_steps.x_re, rtol=2e-5,
+                               atol=2e-6)
+
+    mag = np.sqrt(r_scan.x_re ** 2 + r_scan.x_im ** 2)
+    np.testing.assert_allclose(r_scan.mean_mag, mag.mean(axis=0))
+    np.testing.assert_allclose(r_scan.std_mag, mag.std(axis=0))
+    np.testing.assert_allclose(r_scan.mean_re, r_scan.x_re.mean(axis=0))
+
+
+@pytest.mark.parametrize("mode", ["scan", "steps"])
+def test_no_retrace_across_requests(setup, mode):
+    eng = _engine(setup, mode=mode)
+    eng.warmup()
+    rng = np.random.RandomState(1)
+    mask2 = (rng.rand(1, 1, W, 1) < 0.6).astype(np.float32)
+    maps2 = rng.rand(NSENS, H, W, 1).astype(np.float32) + 0.1
+    maps2 = maps2 / np.sqrt((maps2 ** 2).sum(axis=0, keepdims=True))
+
+    r1 = eng.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0], seed=0)
+    # new scan: different measurement, mask, coil maps, and weight
+    r2 = eng.reconstruct(setup["yr"][:, 0] * 2, setup["yi"][:, 0],
+                         mask=mask2, sens_re=maps2, sens_im=None,
+                         lr_scaled=9.0, seed=1)
+    assert not np.allclose(r1.x_re, r2.x_re)
+    # the whole point: one executable per program across all requests
+    assert all(n <= 1 for n in eng.stats()["jit_cache_size"]), \
+        eng.stats()["jit_cache_size"]
+    assert eng.stats()["requests"] == 2
+
+
+def test_measurement_shape_handling(setup):
+    eng = _engine(setup)
+    # (coils, H, W) and (coils, H, W, C) both canonicalize
+    r1 = eng.reconstruct(setup["yr"][:, 0, ..., 0], setup["yi"][:, 0, ..., 0],
+                         seed=0)
+    r2 = eng.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0], seed=0)
+    np.testing.assert_allclose(r1.x_re, r2.x_re)
+    with pytest.raises(ValueError):
+        eng.reconstruct(setup["yr"][:, 0, :8], setup["yi"][:, 0, :8])
+
+
+def test_single_coil_engine(setup):
+    eng = ReconstructionEngine(
+        setup["module"], setup["params"], setup["sigmas"],
+        spec=_spec(num_sens=0), mask=setup["mask"])
+    y = setup["mask"][0] * np.random.RandomState(2).rand(H, W, 1)
+    res = eng.reconstruct(y.astype(np.float32), np.zeros_like(y, np.float32))
+    assert res.x_re.shape == (CHAINS, H, W, 1)
+    assert np.isfinite(res.mean_mag).all()
+    with pytest.raises(ValueError):
+        ReconstructionEngine(setup["module"], setup["params"],
+                             setup["sigmas"], spec=_spec(num_sens=0),
+                             mask=setup["mask"], sens_re=setup["maps"])
+
+
+def test_bf16_smoke(setup):
+    res = _engine(setup, dtype="bf16").reconstruct(
+        setup["yr"][:, 0], setup["yi"][:, 0], seed=0)
+    assert np.isfinite(res.x_re).all()
+    assert res.x_re.dtype == np.float32   # state stays f32
+
+
+def test_spec_validates_levels(setup):
+    with pytest.raises(ValueError):
+        ReconstructionEngine(setup["module"], setup["params"],
+                             setup["sigmas"],
+                             spec=_spec(levels=LEVELS + 1))
+
+
+def test_server_roundtrip(setup):
+    eng = _engine(setup, mode="steps")
+    httpd = serve(eng, port=0, background=True)
+    try:
+        port = httpd.server_address[1]
+        base = f"http://127.0.0.1:{port}"
+
+        with urllib.request.urlopen(f"{base}/healthz") as r:
+            health = json.loads(r.read())
+        assert health["status"] == "ok"
+        assert health["spec"]["chains"] == CHAINS
+
+        buf = io.BytesIO()
+        np.savez(buf, y_re=setup["yr"][:, 0], y_im=setup["yi"][:, 0])
+        req = urllib.request.Request(
+            f"{base}/reconstruct?seed=5&lr_scaled=2.0", data=buf.getvalue(),
+            headers={"Content-Type": "application/octet-stream"})
+        with urllib.request.urlopen(req) as r:
+            assert float(r.headers["X-Latency-S"]) > 0
+            out = np.load(io.BytesIO(r.read()))
+        assert out["mean_mag"].shape == (H, W, 1)
+        assert out["x_re"].shape == (CHAINS, H, W, 1)
+        # server result == direct engine call with the same seed/weights
+        direct = eng.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0],
+                                 seed=5, lr_scaled=2.0)
+        np.testing.assert_allclose(out["x_re"], direct.x_re)
+
+        # malformed request -> 400, not a crash
+        bad = urllib.request.Request(f"{base}/reconstruct",
+                                     data=b"not-an-npz")
+        with pytest.raises(urllib.error.HTTPError) as ei:
+            urllib.request.urlopen(bad)
+        assert ei.value.code == 400
+    finally:
+        httpd.shutdown()
+        httpd.server_close()
+
+
+def test_cli_builds_engine():
+    """serve_recon's builder wires config -> engine (no server start)."""
+    from inverseproblemwithdiffusionmodel_tpu.scripts import serve_recon
+    p_args = ["--ds_name", "MNIST", "--chains", "2", "--levels", "2",
+              "--num_sens", "2", "--dtype", "f32", "--mode", "steps",
+              "--R", "0",
+              "--override", "data.image_size=16",
+              "--override", "model.ngf=8"]
+    eng = serve_recon.build_engine(_parse_serve_args(p_args))
+    assert eng.spec.height == 16 and eng.spec.levels == 2
+    res = eng.reconstruct(np.zeros((2, 16, 16), np.float32),
+                          np.zeros((2, 16, 16), np.float32))
+    assert np.isfinite(res.mean_mag).all()
+
+
+def _parse_serve_args(argv):
+    """Parse with serve_recon's parser without starting the server."""
+    import unittest.mock as mock
+    from inverseproblemwithdiffusionmodel_tpu.scripts import serve_recon
+    captured = {}
+
+    def fake_build(args):
+        captured["args"] = args
+        raise SystemExit(0)
+
+    with mock.patch.object(serve_recon, "build_engine", fake_build):
+        try:
+            serve_recon.main(argv)
+        except SystemExit:
+            pass
+    return captured["args"]
