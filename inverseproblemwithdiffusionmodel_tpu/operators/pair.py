@@ -108,8 +108,10 @@ def line_mask_normal_kernel(mask) -> Pair:
 def _apply_line_kernel(kr: jnp.ndarray, ki: jnp.ndarray,
                        xr: jnp.ndarray, xi: jnp.ndarray) -> Pair:
     """Apply the (M0, W, W) complex kernel along the W axis of an
-    (..., N, H, W, C) pair (M0 == 1 broadcasts; M0 == N is per-row, e.g.
-    per-frame cine masks tiled to the chain axis). Karatsuba: 3 real
+    (..., N, H, W, C) pair. M0 == 1 broadcasts; M0 == N is per-row (e.g.
+    per-frame cine masks tiled to the chain axis); M0 | N repeats the
+    kernel cyclically (a T-frame kernel over a B*T chain axis — B-way
+    smaller than materializing B identical copies). Karatsuba: 3 real
     contractions."""
     if kr.shape[0] == 1:
         def mat(m, v):
@@ -118,7 +120,12 @@ def _apply_line_kernel(kr: jnp.ndarray, ki: jnp.ndarray,
         kr2, ki2 = kr[0], ki[0]
     else:
         def mat(m, v):
-            return jnp.einsum("nwv,...nhvc->...nhwc", m, v)
+            M0, N = m.shape[0], v.shape[-4]
+            if N == M0:
+                return jnp.einsum("nwv,...nhvc->...nhwc", m, v)
+            vb = v.reshape(v.shape[:-4] + (N // M0, M0) + v.shape[-3:])
+            out = jnp.einsum("nwv,...bnhvc->...bnhwc", m, vb)
+            return out.reshape(v.shape)
         kr2, ki2 = kr, ki
     t1 = mat(kr2, xr)
     t2 = mat(ki2, xi)
@@ -151,7 +158,17 @@ class PairL2Penalty(struct.PyTreeNode):
         (valid for any mask constant along H — every Cartesian mask here)
         and, when the fixed `measurement` (yr, yi) is known up front, the
         loop-invariant A^H y."""
-        kr, ki = line_mask_normal_kernel(lin_tfm.mask)
+        mask = np.asarray(lin_tfm.mask)
+        # collapse cyclic repetition (chain ensembles tile a T-frame mask
+        # to B*T rows): keep one (T, W, W) kernel, _apply_line_kernel
+        # repeats it — B x less HBM at e.g. B=16 chains x 256^2
+        M0 = mask.shape[0]
+        for p in range(1, M0 + 1):
+            if M0 % p == 0 and np.array_equal(
+                    mask, np.tile(mask[:p], (M0 // p, 1, 1, 1))):
+                mask = mask[:p]
+                break
+        kr, ki = line_mask_normal_kernel(mask)
         ahy_r = ahy_i = None
         if measurement is not None:
             ahy_r, ahy_i = lin_tfm.conj_op(*measurement)

@@ -23,7 +23,64 @@ from ..serving import EngineSpec, ReconstructionEngine
 from ..serving.server import serve
 
 
+def build_cine_engine(args):
+    """2D+time engine: spatial prior from --ds_name, temporal 1-D prior
+    from --ds_name_T (pixel tubes), per-frame vd masks."""
+    import numpy as np
+    from ..serving.cine import CineEngineSpec, CineReconstructionEngine
+
+    config_S = apply_overrides(load_config(args.ds_name, "real-imag"),
+                               args.override)
+    size = config_S.data.image_size
+    module_S, params_S = reload_model(config_S, "Diffusion", args.ckpt_dir)
+    sigmas_S = get_sigmas(config_S, "recons")
+    if args.levels:
+        from ..samplers.sigmas import sigma_ladder
+        sigmas_S = sigma_ladder(config_S.recons.sigma_begin,
+                                config_S.recons.sigma_end, args.levels,
+                                config_S.recons.sigma_dist)
+    module_T = params_T = sigmas_T = None
+    if "diffusion1d" in args.mode_T:
+        config_T = load_config(args.ds_name_T, "real-imag")
+        module_T, params_T = reload_model(config_T, "Diffusion1D",
+                                          args.ckpt_dir_T)
+        sigmas_T = get_sigmas(config_T, "recons")
+    n_steps = args.num_steps_each or config_S.sampling.n_steps_each
+    step_lr = args.step_lr or config_S.sampling.step_lr
+    check_ladder_stability(sigmas_S, n_steps, step_lr)
+
+    mask = None
+    if args.R:
+        from ..operators.masks import generate_mask
+        from ..operators.fourier import MASK_PRESETS
+        mask = generate_mask(args.frames, size, seed=args.seed,
+                             **MASK_PRESETS[args.R]).reshape(
+                                 args.frames, 1, size, 1)
+    sens_re = None
+    if args.num_sens and args.synth_sens:
+        from ..operators.fourier import _exp_sens_map
+        maps = np.stack([_exp_sens_map(size, size, args.seed + i)
+                         for i in range(args.num_sens)])
+        maps = maps / np.sqrt((maps ** 2).sum(axis=0, keepdims=True))
+        sens_re = maps[..., None]
+
+    spec = CineEngineSpec(height=size, width=size, frames=args.frames,
+                          channels=config_S.data.channels,
+                          num_sens=args.num_sens, chains=args.chains,
+                          n_steps_each=n_steps, step_lr=step_lr,
+                          lr_scaled=args.lr_scaled, mode_T=args.mode_T,
+                          lamda_T=args.lamda_T, win_size=args.win_size,
+                          if_random_shift=args.random_shift,
+                          prox_iters=args.prox_iters, dtype=args.dtype,
+                          mode=args.mode)
+    return CineReconstructionEngine(
+        module_S, params_S, sigmas_S, spec=spec, module_T=module_T,
+        params_T=params_T, sigmas_T=sigmas_T, mask=mask, sens_re=sens_re)
+
+
 def build_engine(args) -> ReconstructionEngine:
+    if getattr(args, "workload", "2d") == "cine":
+        return build_cine_engine(args)
     config = load_config(args.ds_name, "real-imag")
     config = apply_overrides(config, args.override)
     size = config.data.image_size
@@ -69,9 +126,25 @@ def build_engine(args) -> ReconstructionEngine:
 
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--workload", default="2d", choices=["2d", "cine"],
+                   help="2d: single-volume ALD+prox; cine: 2D+time "
+                        "factorized (spatial + temporal prior)")
     p.add_argument("--ds_name", default="ACDC")
     p.add_argument("--ckpt_dir", default=None,
                    help="orbax checkpoint dir of the trained score model")
+    # cine-only flags
+    p.add_argument("--ds_name_T", default="CINE127_1D",
+                   help="[cine] temporal prior's dataset config")
+    p.add_argument("--ckpt_dir_T", default=None,
+                   help="[cine] orbax ckpt dir of the temporal 1-D prior")
+    p.add_argument("--mode_T", default="diffusion1d",
+                   choices=["tv", "diffusion1d", "none", "diffusion1d-only",
+                            "tv-only"])
+    p.add_argument("--lamda_T", type=float, default=1.0)
+    p.add_argument("--frames", type=int, default=24)
+    p.add_argument("--win_size", type=int, default=8)
+    p.add_argument("--random_shift", action="store_true",
+                   help="[cine] random spatial shift de-aliasing")
     p.add_argument("--R", type=int, default=8, choices=[0, 8, 16, 20],
                    help="default undersampling mask preset (0 = fully "
                         "sampled default; requests may override per call)")

@@ -11,5 +11,7 @@ coil maps — reuses the same executable with zero retraces), and
 (`scripts/serve_recon.py`).
 """
 from .engine import EngineSpec, ReconResult, ReconstructionEngine
+from .cine import CineEngineSpec, CineReconstructionEngine
 
-__all__ = ["EngineSpec", "ReconResult", "ReconstructionEngine"]
+__all__ = ["EngineSpec", "ReconResult", "ReconstructionEngine",
+           "CineEngineSpec", "CineReconstructionEngine"]

@@ -158,6 +158,28 @@ def test_line_mask_normal_kernel_matches_operator(sense_pair):
     np.testing.assert_allclose(np.asarray(ni), np.asarray(gi), atol=1e-4)
 
 
+def test_normal_kernel_dedups_tiled_masks(sense_pair):
+    """A T-frame mask tiled to B*T chain rows (the cine ensemble layout)
+    keeps only a (T, W, W) kernel, applied cyclically — same output as the
+    direct A^H A composition on the full tiled operator."""
+    _, pair = sense_pair
+    key = jax.random.PRNGKey(11)
+    T, B = 3, 4
+    maskT = (jax.random.uniform(key, (T, 1, W, 1)) > 0.4).astype(jnp.float32)
+    maskBT = jnp.tile(maskT, (B, 1, 1, 1))
+    lin = PairSENSE(mask=maskBT, sens_re=pair.sens_re, sens_im=pair.sens_im)
+
+    pk = PairL2Penalty.with_normal_kernel(lin)
+    assert pk.kernel_re.shape == (T, W, W)   # deduped, not (B*T, W, W)
+
+    xr = jax.random.normal(jax.random.fold_in(key, 1), (B * T, H, W, 1))
+    xi = jax.random.normal(jax.random.fold_in(key, 2), (B * T, H, W, 1))
+    gr, gi = lin.conj_op(*lin(xr, xi))
+    nr, ni = pk._normal(xr, xi)
+    np.testing.assert_allclose(np.asarray(nr), np.asarray(gr), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(ni), np.asarray(gi), atol=1e-4)
+
+
 def test_prox_normal_kernel_matches_default(sense_pair):
     """with_normal_kernel (+ precomputed A^H y) solves the same system as
     the default operator-composition CG, inside a full ALD chain too."""

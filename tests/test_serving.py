@@ -234,6 +234,135 @@ def test_cli_builds_engine():
     assert np.isfinite(res.mean_mag).all()
 
 
+# ---------------------------------------------------------------- cine
+
+TF = 3   # frames
+
+
+@pytest.fixture(scope="module")
+def cine_setup(setup):
+    from inverseproblemwithdiffusionmodel_tpu.models.ncsn1d import NCSN1D
+    cfg_t = Config({
+        "data": {"channels": 4, "image_size": TF, "logit_transform": False,
+                 "rescaled": False},
+        "model": {"ngf": 8, "nonlinearity": "elu",
+                  "normalization": "InstanceNorm++", "sigma_begin": 5.0,
+                  "sigma_end": 0.1, "num_classes": LEVELS,
+                  "sigma_dist": "geometric"},
+    })
+    module_T = NCSN1D(config=cfg_t)
+    x0 = jnp.zeros((2, TF, 4))   # (B', T, win^2) tubes, win=2
+    params_T = module_T.init(jax.random.PRNGKey(1), x0,
+                             jnp.ones((2,)))["params"]
+    rng = np.random.RandomState(3)
+    maskT = (rng.rand(TF, 1, W, 1) < 0.5).astype(np.float32)
+    maskT[..., W // 2 - 1:W // 2 + 1, :] = 1.0
+    y = rng.rand(NSENS, TF, H, W).astype(np.float32)
+    return dict(module_T=module_T, params_T=params_T,
+                sigmas_T=setup["sigmas"], maskT=maskT, y=y)
+
+
+def _cine_spec(**kw):
+    from inverseproblemwithdiffusionmodel_tpu.serving import CineEngineSpec
+    base = dict(height=H, width=W, frames=TF, channels=1, num_sens=NSENS,
+                chains=2, n_steps_each=NSTEPS, step_lr=1e-5, lr_scaled=2.0,
+                mode_T="diffusion1d", lamda_T=1.0, win_size=2,
+                prox_iters=3, dtype="f32", mode="scan")
+    base.update(kw)
+    return CineEngineSpec(**base)
+
+
+def _cine_engine(setup, cine_setup, **kw):
+    from inverseproblemwithdiffusionmodel_tpu.serving import (
+        CineReconstructionEngine)
+    return CineReconstructionEngine(
+        setup["module"], setup["params"], setup["sigmas"],
+        spec=_cine_spec(**kw), module_T=cine_setup["module_T"],
+        params_T=cine_setup["params_T"], sigmas_T=cine_setup["sigmas_T"],
+        mask=cine_setup["maskT"], sens_re=setup["maps"])
+
+
+def test_cine_engine_matches_direct_sampler(setup, cine_setup):
+    from inverseproblemwithdiffusionmodel_tpu.samplers.ald_pair import (
+        ald_2d_time_pair)
+    eng = _cine_engine(setup, cine_setup)
+    y = cine_setup["y"]
+    res = eng.reconstruct(y, np.zeros_like(y), seed=11)
+    assert res.x_re.shape == (2, TF, H, W, 1)
+
+    # library path by hand: tile measurement + per-frame mask over chains
+    B = 2
+    lin = eng.default_lin_tfm
+    prox = PairL2Penalty.with_normal_kernel(lin, num_iters=3)
+    yb = np.tile(y[:, None, ..., None], (1, B, 1, 1, 1, 1)).reshape(
+        NSENS, B * TF, H, W, 1)
+    score_S = make_score_fn(setup["module"], setup["params"],
+                            setup["sigmas"])
+    score_T = make_score_fn(cine_setup["module_T"], cine_setup["params_T"],
+                            cine_setup["sigmas_T"])
+    xr, xi = ald_2d_time_pair(
+        score_S, score_T, setup["sigmas"], cine_setup["sigmas_T"],
+        (jnp.asarray(yb), jnp.zeros_like(jnp.asarray(yb))), lin, prox,
+        jax.random.PRNGKey(11),
+        ALDConfig(n_steps_each=NSTEPS, step_lr=1e-5), lr_scaled=2.0,
+        mode_T="diffusion1d", lamda_T=1.0, win_size=2, num_frames=TF)
+    np.testing.assert_allclose(res.x_re, np.asarray(xr), rtol=2e-5,
+                               atol=2e-6)
+    np.testing.assert_allclose(res.x_im, np.asarray(xi), rtol=2e-5,
+                               atol=2e-6)
+
+
+def test_cine_modes_agree_no_retrace(setup, cine_setup):
+    y = cine_setup["y"]
+    e_scan = _cine_engine(setup, cine_setup, mode="scan")
+    e_steps = _cine_engine(setup, cine_setup, mode="steps")
+    r1 = e_scan.reconstruct(y, np.zeros_like(y), seed=2)
+    r2 = e_steps.reconstruct(y, np.zeros_like(y), seed=2)
+    np.testing.assert_allclose(r1.x_re, r2.x_re, rtol=2e-5, atol=2e-6)
+
+    # new per-frame mask + retuned weights: same executables
+    rng = np.random.RandomState(9)
+    mask2 = (rng.rand(TF, 1, W, 1) < 0.7).astype(np.float32)
+    r3 = e_steps.reconstruct(y * 2, np.zeros_like(y), mask=mask2,
+                             lr_scaled=7.0, lamda_T=0.5, seed=4)
+    assert not np.allclose(r2.x_re, r3.x_re)
+    assert all(n <= 1 for n in e_steps.stats()["jit_cache_size"])
+    # per-frame normal kernel stays (T, W, W) despite the chain tiling
+    prox = e_steps._build_proximal(e_steps.default_lin_tfm)
+    assert prox.kernel_re.shape == (TF, W, W)
+
+
+def test_cine_tv_mode_needs_no_temporal_net(setup, cine_setup):
+    from inverseproblemwithdiffusionmodel_tpu.serving import (
+        CineReconstructionEngine)
+    eng = CineReconstructionEngine(
+        setup["module"], setup["params"], setup["sigmas"],
+        spec=_cine_spec(mode_T="tv", mode="steps"),
+        mask=cine_setup["maskT"], sens_re=setup["maps"])
+    y = cine_setup["y"]
+    res = eng.reconstruct(y, np.zeros_like(y))
+    assert np.isfinite(res.mean_mag).all()
+    with pytest.raises(ValueError):
+        CineReconstructionEngine(
+            setup["module"], setup["params"], setup["sigmas"],
+            spec=_cine_spec(mode_T="diffusion1d"),
+            mask=cine_setup["maskT"])   # missing temporal model
+
+
+def test_cine_cli_builds_engine():
+    from inverseproblemwithdiffusionmodel_tpu.scripts import serve_recon
+    args = _parse_serve_args([
+        "--workload", "cine", "--ds_name", "CINE64", "--mode_T", "tv",
+        "--chains", "2", "--levels", "2", "--frames", str(TF),
+        "--num_sens", "2", "--dtype", "f32", "--mode", "steps", "--R", "0",
+        "--override", "data.image_size=16", "--override", "model.ngf=8"])
+    eng = serve_recon.build_engine(args)
+    assert eng.spec.frames == TF and eng.spec.height == 16
+    y = np.zeros((2, TF, 16, 16), np.float32)
+    res = eng.reconstruct(y, np.zeros_like(y))
+    assert np.isfinite(res.mean_mag).all()
+
+
 def _parse_serve_args(argv):
     """Parse with serve_recon's parser without starting the server."""
     import unittest.mock as mock
