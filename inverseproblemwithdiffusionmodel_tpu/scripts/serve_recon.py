@@ -111,6 +111,11 @@ def build_engine(args) -> ReconstructionEngine:
         maps = maps / np.sqrt((maps ** 2).sum(axis=0, keepdims=True))
         sens_re = maps[..., None]
 
+    seg_module = seg_params = None
+    if args.seg_ckpt_dir:
+        seg_module, seg_params = reload_model(config, "Seg",
+                                              args.seg_ckpt_dir)
+
     # pair-pipeline images are (B, H, W, C) with the Re/Im split on the
     # batch axis, so C is the config's per-part channel count (1 everywhere)
     spec = EngineSpec(height=size, width=size,
@@ -119,9 +124,13 @@ def build_engine(args) -> ReconstructionEngine:
                       levels=int(sigmas.shape[0]), n_steps_each=n_steps,
                       step_lr=step_lr, lr_scaled=args.lr_scaled,
                       prox_iters=args.prox_iters, dtype=args.dtype,
-                      mode=args.mode)
+                      mode=args.mode, seg_lamda=args.seg_lamda,
+                      seg_start_time=args.seg_start_time,
+                      seg_step_type=args.seg_step_type,
+                      seg_mode=args.seg_mode)
     return ReconstructionEngine(module, params, sigmas, spec=spec,
-                                mask=mask, sens_re=sens_re, sens_im=sens_im)
+                                mask=mask, sens_re=sens_re, sens_im=sens_im,
+                                seg_module=seg_module, seg_params=seg_params)
 
 
 def main(argv=None):
@@ -145,6 +154,17 @@ def main(argv=None):
     p.add_argument("--win_size", type=int, default=8)
     p.add_argument("--random_shift", action="store_true",
                    help="[cine] random spatial shift de-aliasing")
+    # seg-guided serving (2d workload; reference headline recon)
+    p.add_argument("--seg_ckpt_dir", default=None,
+                   help="orbax ckpt dir of a trained seg UNet — enables "
+                        "guided serving (requests pass seg_label maps)")
+    p.add_argument("--seg_lamda", type=float, default=1.0)
+    p.add_argument("--seg_start_time", type=float, default=0.0,
+                   help="guidance ramp start as a ladder fraction "
+                        "(1.0 = ramp never activates)")
+    p.add_argument("--seg_step_type", default="linear",
+                   choices=["linear", "constant"])
+    p.add_argument("--seg_mode", default="full", choices=["full", "FG"])
     p.add_argument("--R", type=int, default=8, choices=[0, 8, 16, 20],
                    help="default undersampling mask preset (0 = fully "
                         "sampled default; requests may override per call)")

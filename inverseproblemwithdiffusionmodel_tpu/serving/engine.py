@@ -22,7 +22,10 @@ Design rules (all load-bearing on TPU — see ARCHITECTURE.md):
 
 The reference counterpart of the math is the headline recon loop
 `ALDInvSegProximalRealImag` (ncsn/models/ALD_optimizers.py:161-327) through
-the pair/matmul-DFT fast path (`samplers/ald_pair.py`).
+the pair/matmul-DFT fast path (`samplers/ald_pair.py`) — including its
+segmentation guidance when the engine is built with a seg model (the seg
+weights join the program; per-request LABEL maps and `seg_lamda` retunes
+are traced arguments, so they never retrace either).
 """
 from __future__ import annotations
 
@@ -35,8 +38,10 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..samplers.ald import ALDConfig, _labels, _langevin_update
+from ..samplers.ald import (ALDConfig, _labels, _langevin_update,
+                            compute_seg_grad)
 from ..samplers.ald_pair import _bake_ahy, ald_inverse_proximal_pair
+from ..samplers.sigmas import get_lh_weights
 from ..operators.pair import (PairL2Penalty, PairRandomUndersamplingFourier,
                               PairSENSE)
 from ..utils.misc import stack_parts, unstack_parts
@@ -58,6 +63,13 @@ class EngineSpec:
     prox_iters: int = 4
     dtype: str = "bf16"        # f32 | bf16 | int8
     mode: str = "scan"         # scan | steps
+    # segmentation guidance (active iff the engine was built with a seg
+    # model; reference ramp semantics — ncsn/models/ALD_optimizers.py:23,
+    # ncsn/models/__init__.py:197-215)
+    seg_lamda: float = 1.0     # default guidance weight (0 disables)
+    seg_start_time: float = 0.0   # ramp start (1.0 = ramp never activates)
+    seg_step_type: str = "linear"
+    seg_mode: str = "full"     # full | FG
 
     def chain_steps(self) -> int:
         return self.levels * self.n_steps_each
@@ -133,7 +145,9 @@ class ReconstructionEngine:
     def __init__(self, module, params, sigmas, *, spec: EngineSpec,
                  mask: Optional[np.ndarray] = None,
                  sens_re: Optional[np.ndarray] = None,
-                 sens_im: Optional[np.ndarray] = None):
+                 sens_im: Optional[np.ndarray] = None,
+                 seg_module=None, seg_params=None,
+                 seg_label: Optional[np.ndarray] = None):
         if spec.levels != int(np.shape(sigmas)[0]):
             raise ValueError(f"spec.levels={spec.levels} != "
                              f"len(sigmas)={np.shape(sigmas)[0]}")
@@ -146,6 +160,16 @@ class ReconstructionEngine:
                                     denoise=spec.denoise)
         self._score_factory = _make_arg_score_fn(module, self.sigmas,
                                                  spec.dtype)
+        # segmentation guidance: the seg net + its weights are fixed at
+        # construction (part of the compiled program's structure); the
+        # LABEL map and lamda vary per request as traced arguments
+        self.seg_module, self.seg_params = seg_module, seg_params
+        self._has_seg = seg_module is not None
+        if self._has_seg:
+            self._lh_weights = get_lh_weights(
+                self.sigmas, spec.seg_start_time, spec.seg_step_type)
+        self.default_seg_label = (None if seg_label is None
+                                  else self._canon_seg_label(seg_label))
         self._lock = threading.Lock()
         self._compile_s: Optional[float] = None
         self._requests = 0
@@ -197,13 +221,30 @@ class ReconstructionEngine:
         shape = yr.shape[:ax] + (s.chains,) + yr.shape[ax + 1:]
         return jnp.broadcast_to(yr, shape), jnp.broadcast_to(yi, shape)
 
-    def _traced_chain(self, params, lin_tfm, proximal, yr, yi, lr_scaled,
-                      key):
+    def _seg_fn(self, seg_params):
+        return lambda x: self.seg_module.apply({"params": seg_params}, x)
+
+    def _broadcast_seg_label(self, seg_label):
+        """(H, W) request label -> (chains, H, W) on device."""
+        return jnp.broadcast_to(seg_label[None],
+                                (self.spec.chains,) + seg_label.shape)
+
+    def _traced_chain(self, params, seg_params, seg_label, lin_tfm,
+                      proximal, yr, yi, lr_scaled, seg_lamda, key):
         score_fn = self._score_factory(params)
         yr, yi = self._broadcast_chains(yr, yi)
+        seg_kwargs = {}
+        if self._has_seg:
+            s = self.spec
+            seg_kwargs = dict(seg_fn=self._seg_fn(seg_params),
+                              seg_label=self._broadcast_seg_label(seg_label),
+                              seg_lamda=seg_lamda,
+                              seg_start_time=s.seg_start_time,
+                              seg_step_type=s.seg_step_type,
+                              seg_mode=s.seg_mode)
         return ald_inverse_proximal_pair(
             score_fn, self.sigmas, (yr, yi), lin_tfm, proximal, key,
-            self.ald_config, lr_scaled=lr_scaled)
+            self.ald_config, lr_scaled=lr_scaled, **seg_kwargs)
 
     def _traced_prepare(self, lin_tfm, yr, yi):
         """Chain init for mode="steps": on-device chain broadcast + zero-
@@ -213,8 +254,9 @@ class ReconstructionEngine:
         xr, xi = lin_tfm.conj_op(yr, yi)
         return yr, yi, xr, xi
 
-    def _traced_level_step(self, params, prox, xr, xi, yr, yi, c, sigma,
-                           lr_scaled, key):
+    def _traced_level_step(self, params, seg_params, seg_label2, prox,
+                           xr, xi, yr, yi, c, sigma, lh_w, lr_scaled,
+                           seg_lamda, key):
         """One sigma level (mode="steps"): numerically identical to the
         scan body in samplers.ald_pair.ald_inverse_proximal_pair."""
         score_fn = self._score_factory(params)
@@ -226,6 +268,10 @@ class ReconstructionEngine:
             key, k_re, k_im = jax.random.split(key, 3)
             stacked = stack_parts(xr, xi)
             grads = score_fn(stacked, _labels(stacked, c))
+            if self._has_seg:
+                g_seg = compute_seg_grad(self._seg_fn(seg_params), stacked,
+                                         seg_label2, self.spec.seg_mode)
+                grads = grads + g_seg / sigma * (lh_w * seg_lamda)
             g_re, g_im = unstack_parts(grads)
             xr = _langevin_update(xr, g_re, step_size, k_re)
             xi = _langevin_update(xi, g_im, step_size, k_im)
@@ -243,17 +289,27 @@ class ReconstructionEngine:
         s_last = self.sigmas[-1]
         return xr + s_last ** 2 * g_re, xi + s_last ** 2 * g_im
 
-    def _run(self, lin_tfm, proximal, yr, yi, lr_scaled, key
+    def _run(self, lin_tfm, proximal, yr, yi, lr_scaled, key,
+             seg_label=None, seg_lamda=None
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
         if self.spec.mode == "scan":
-            return self._recon_scan(self.params, lin_tfm, proximal, yr, yi,
-                                    lr_scaled, key)
+            return self._recon_scan(self.params, self.seg_params, seg_label,
+                                    lin_tfm, proximal, yr, yi, lr_scaled,
+                                    seg_lamda, key)
         yr, yi, xr, xi = self._prepare(lin_tfm, yr, yi)
         prox = _bake_ahy(proximal, xr, xi)
+        seg_label2 = None
+        if self._has_seg:
+            # the seg net sees the interleaved [Re, Im] 2B batch; same
+            # per-pixel label for both parts (samplers/ald.py contract)
+            lb = self._broadcast_seg_label(seg_label)
+            seg_label2 = stack_parts(lb, lb)
         for c in range(self.spec.levels):
+            lh_w = self._lh_weights[c] if self._has_seg else jnp.float32(0)
             xr, xi, key = self._level_step(
-                self.params, prox, xr, xi, yr, yi, jnp.int32(c),
-                self.sigmas[c], lr_scaled, key)
+                self.params, self.seg_params, seg_label2, prox, xr, xi,
+                yr, yi, jnp.int32(c), self.sigmas[c], lh_w, lr_scaled,
+                seg_lamda, key)
         if self.ald_config.denoise:
             xr, xi = self._denoise(self.params, xr, xi)
         return xr, xi
@@ -273,10 +329,16 @@ class ReconstructionEngine:
         t0 = time.perf_counter()
         yr, yi = self._example_measurement()
         prox = self._build_proximal(self.default_lin_tfm)
+        seg_label, seg_lamda = None, None
+        if self._has_seg:
+            s = self.spec
+            seg_label = jnp.zeros((s.height, s.width), jnp.int32)
+            seg_lamda = jnp.float32(s.seg_lamda)
         with self._lock:
             xr, xi = self._run(self.default_lin_tfm, prox, yr, yi,
                                jnp.float32(self.spec.lr_scaled),
-                               jax.random.PRNGKey(0))
+                               jax.random.PRNGKey(0),
+                               seg_label=seg_label, seg_lamda=seg_lamda)
             float(jnp.sum(xr) + jnp.sum(xi))  # device->host sync
         if self._compile_s is None:
             self._compile_s = time.perf_counter() - t0
@@ -284,17 +346,37 @@ class ReconstructionEngine:
 
     def reconstruct(self, y_re, y_im, *, mask=None, sens_re=None,
                     sens_im=None, seed: int = 0,
-                    lr_scaled: Optional[float] = None) -> ReconResult:
+                    lr_scaled: Optional[float] = None,
+                    seg_label: Optional[np.ndarray] = None,
+                    seg_lamda: Optional[float] = None) -> ReconResult:
         """Reconstruct one measurement with the compiled chain ensemble.
 
         y_re/y_im: k-space pair, shape (num_sens, H, W[, C]) — or (H, W[, C])
         single-coil — tiled across the engine's `chains` rows (independent
         Langevin chains; the mean is the product). mask/sens_* override the
         engine's default operator for this request (same shapes as the spec).
+        seg_label: per-pixel (H, W) int target map for a seg-guided engine
+        (falls back to the construction-time default label); seg_lamda
+        retunes the guidance weight per request without retracing.
         """
         s = self.spec
         yr = self._canon_measurement(y_re)
         yi = self._canon_measurement(y_im)
+        if not self._has_seg:
+            if seg_label is not None or seg_lamda is not None:
+                raise ValueError("seg_label/seg_lamda given, but the engine "
+                                 "was built without a seg model")
+            seg_label_t = seg_lamda_t = None
+        else:
+            if seg_label is None:
+                seg_label_t = self.default_seg_label
+                if seg_label_t is None:
+                    raise ValueError("seg-guided engine needs seg_label "
+                                     "(no construction-time default)")
+            else:
+                seg_label_t = self._canon_seg_label(seg_label)
+            seg_lamda_t = jnp.float32(s.seg_lamda if seg_lamda is None
+                                      else seg_lamda)
         if mask is None and sens_re is None and sens_im is None:
             lin_tfm = self.default_lin_tfm
         else:
@@ -307,7 +389,8 @@ class ReconstructionEngine:
 
         t0 = time.perf_counter()
         with self._lock:
-            xr, xi = self._run(lin_tfm, proximal, yr, yi, lr, key)
+            xr, xi = self._run(lin_tfm, proximal, yr, yi, lr, key,
+                               seg_label=seg_label_t, seg_lamda=seg_lamda_t)
             xr = np.asarray(jax.device_get(xr))
             xi = np.asarray(jax.device_get(xi))
         dt = time.perf_counter() - t0
@@ -343,6 +426,13 @@ class ReconstructionEngine:
             # single-coil operators carry no coil axis: (1, H, W, C)
             return jnp.asarray(y[0][None])
         return jnp.asarray(y[:, None])    # (coils, 1, H, W, C)
+
+    def _canon_seg_label(self, label) -> jnp.ndarray:
+        """(H, W) [or (1/ H, W, 1)-squeezable] int per-pixel target map."""
+        s = self.spec
+        label = np.asarray(label)
+        label = label.reshape(s.height, s.width)  # raises if incompatible
+        return jnp.asarray(label, jnp.int32)
 
     def stats(self) -> Dict[str, Any]:
         caches = [f._cache_size() for f in (self._recon_scan,

@@ -7,7 +7,9 @@ Protocol (binary npz in, binary npz out — no pickle anywhere):
   POST /reconstruct   -> body: npz with arrays
                            y_re, y_im              (required; k-space pair)
                            mask, sens_re, sens_im  (optional overrides)
-                         query: ?seed=0&lr_scaled=5.0
+                           seg_label               (optional (H, W) int map,
+                                                    seg-guided engines only)
+                         query: ?seed=0&lr_scaled=5.0&seg_lamda=1.0
                          response: npz {mean_re, mean_im, mean_mag, std_mag,
                          x_re, x_im} + X-Latency-S / X-Chain-Steps-Per-S
                          headers
@@ -71,11 +73,13 @@ def make_handler(engine: ReconstructionEngine):
                                allow_pickle=False)
                 q = parse_qs(url.query)
                 kwargs = {}
-                for opt in ("mask", "sens_re", "sens_im"):
+                for opt in ("mask", "sens_re", "sens_im", "seg_label"):
                     if opt in data.files:
                         kwargs[opt] = data[opt]
                 if "lr_scaled" in q:
                     kwargs["lr_scaled"] = float(q["lr_scaled"][0])
+                if "seg_lamda" in q:
+                    kwargs["seg_lamda"] = float(q["seg_lamda"][0])
                 res = engine.reconstruct(
                     data["y_re"], data["y_im"],
                     seed=int(q.get("seed", ["0"])[0]), **kwargs)

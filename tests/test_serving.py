@@ -363,6 +363,114 @@ def test_cine_cli_builds_engine():
     assert np.isfinite(res.mean_mag).all()
 
 
+# ------------------------------------------------------- seg guidance
+
+@pytest.fixture(scope="module")
+def seg_setup():
+    from inverseproblemwithdiffusionmodel_tpu.models.unet import UNet
+    seg = UNet(out_channels=2, features=(4, 8), strides=(2,), ndim=2)
+    seg_params = seg.init(jax.random.PRNGKey(5),
+                          jnp.zeros((1, H, W, 1)))["params"]
+    label = (np.random.RandomState(6).rand(H, W) > 0.5).astype(np.int32)
+    return dict(module=seg, params=seg_params, label=label)
+
+
+def _seg_engine(setup, seg_setup, **kw):
+    return ReconstructionEngine(
+        setup["module"], setup["params"], setup["sigmas"], spec=_spec(**kw),
+        mask=setup["mask"], sens_re=setup["maps"],
+        seg_module=seg_setup["module"], seg_params=seg_setup["params"])
+
+
+def test_seg_engine_matches_direct_sampler(setup, seg_setup):
+    eng = _seg_engine(setup, seg_setup)
+    res = eng.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0], seed=7,
+                          seg_label=seg_setup["label"], seg_lamda=3.0)
+
+    lin = eng.default_lin_tfm
+    prox = PairL2Penalty.with_normal_kernel(lin, num_iters=3)
+    yr = jnp.asarray(np.broadcast_to(setup["yr"], (NSENS, CHAINS, H, W, 1)))
+    yi = jnp.asarray(np.broadcast_to(setup["yi"], (NSENS, CHAINS, H, W, 1)))
+    score_fn = make_score_fn(setup["module"], setup["params"],
+                             setup["sigmas"])
+    seg_fn = lambda x: seg_setup["module"].apply(
+        {"params": seg_setup["params"]}, x)
+    label_b = jnp.broadcast_to(jnp.asarray(seg_setup["label"])[None],
+                               (CHAINS, H, W))
+    xr, xi = ald_inverse_proximal_pair(
+        score_fn, setup["sigmas"], (yr, yi), lin, prox,
+        jax.random.PRNGKey(7),
+        ALDConfig(n_steps_each=NSTEPS, step_lr=1e-5), lr_scaled=2.0,
+        seg_fn=seg_fn, seg_label=label_b, seg_lamda=3.0,
+        seg_start_time=0.0)
+    np.testing.assert_allclose(res.x_re, np.asarray(xr), rtol=2e-5,
+                               atol=2e-6)
+    np.testing.assert_allclose(res.x_im, np.asarray(xi), rtol=2e-5,
+                               atol=2e-6)
+
+    # guidance actually biases the chain (vs the unguided engine)
+    plain = _engine(setup).reconstruct(setup["yr"][:, 0], setup["yi"][:, 0],
+                                       seed=7)
+    assert not np.allclose(plain.x_re, res.x_re)
+
+
+def test_seg_modes_agree_no_retrace(setup, seg_setup):
+    e_scan = _seg_engine(setup, seg_setup, mode="scan")
+    e_steps = _seg_engine(setup, seg_setup, mode="steps")
+    lb = seg_setup["label"]
+    r1 = e_scan.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0], seed=3,
+                            seg_label=lb)
+    r2 = e_steps.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0], seed=3,
+                             seg_label=lb)
+    np.testing.assert_allclose(r1.x_re, r2.x_re, rtol=2e-5, atol=2e-6)
+
+    # new label + lamda retune: same executables
+    for eng in (e_scan, e_steps):
+        eng.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0], seed=4,
+                        seg_label=1 - lb, seg_lamda=0.25)
+        assert all(n <= 1 for n in eng.stats()["jit_cache_size"])
+
+
+def test_seg_engine_error_paths(setup, seg_setup):
+    plain = _engine(setup)
+    with pytest.raises(ValueError, match="without a seg model"):
+        plain.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0],
+                          seg_label=seg_setup["label"])
+    guided = _seg_engine(setup, seg_setup)
+    with pytest.raises(ValueError, match="needs seg_label"):
+        guided.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0])
+    # construction-time default label serves label-less requests
+    eng = ReconstructionEngine(
+        setup["module"], setup["params"], setup["sigmas"], spec=_spec(),
+        mask=setup["mask"], sens_re=setup["maps"],
+        seg_module=seg_setup["module"], seg_params=seg_setup["params"],
+        seg_label=seg_setup["label"])
+    res = eng.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0])
+    assert np.isfinite(res.mean_mag).all()
+
+
+def test_seg_label_over_the_wire(setup, seg_setup):
+    eng = _seg_engine(setup, seg_setup)
+    httpd = serve(eng, port=0, background=True)
+    try:
+        port = httpd.server_address[1]
+        buf = io.BytesIO()
+        np.savez(buf, y_re=setup["yr"][:, 0], y_im=setup["yi"][:, 0],
+                 seg_label=seg_setup["label"])
+        req = urllib.request.Request(
+            f"http://127.0.0.1:{port}/reconstruct?seed=7&seg_lamda=3.0",
+            data=buf.getvalue(), method="POST")
+        with urllib.request.urlopen(req) as r:
+            out = np.load(io.BytesIO(r.read()))
+        direct = eng.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0],
+                                 seed=7, seg_label=seg_setup["label"],
+                                 seg_lamda=3.0)
+        np.testing.assert_allclose(out["mean_mag"], direct.mean_mag,
+                                   rtol=2e-5, atol=2e-6)
+    finally:
+        httpd.shutdown()
+
+
 def _parse_serve_args(argv):
     """Parse with serve_recon's parser without starting the server."""
     import unittest.mock as mock
