@@ -23,6 +23,23 @@ from ..serving import EngineSpec, ReconstructionEngine
 from ..serving.server import serve
 
 
+def _serving_mesh(args):
+    """Optional chain-sharding mesh: --data_shards N shards the compiled
+    chain ensemble over N devices' `data` axis (-1 = all devices).
+    Chains are independent, so reconstruction latency divides by N."""
+    n = getattr(args, "data_shards", 1)
+    if n in (0, 1):
+        return None
+    import jax
+    from ..parallel.mesh import make_mesh
+    if n == -1:
+        n = len(jax.devices())
+    if args.chains % n:
+        raise SystemExit(f"--chains {args.chains} must be a multiple of "
+                         f"--data_shards {n}")
+    return make_mesh(n_data=n, n_model=1)
+
+
 def build_cine_engine(args):
     """2D+time engine: spatial prior from --ds_name, temporal 1-D prior
     from --ds_name_T (pixel tubes), per-frame vd masks."""
@@ -75,7 +92,8 @@ def build_cine_engine(args):
                           mode=args.mode)
     return CineReconstructionEngine(
         module_S, params_S, sigmas_S, spec=spec, module_T=module_T,
-        params_T=params_T, sigmas_T=sigmas_T, mask=mask, sens_re=sens_re)
+        params_T=params_T, sigmas_T=sigmas_T, mask=mask, sens_re=sens_re,
+        mesh=_serving_mesh(args))
 
 
 def build_engine(args) -> ReconstructionEngine:
@@ -130,7 +148,8 @@ def build_engine(args) -> ReconstructionEngine:
                       seg_mode=args.seg_mode)
     return ReconstructionEngine(module, params, sigmas, spec=spec,
                                 mask=mask, sens_re=sens_re, sens_im=sens_im,
-                                seg_module=seg_module, seg_params=seg_params)
+                                seg_module=seg_module, seg_params=seg_params,
+                                mesh=_serving_mesh(args))
 
 
 def main(argv=None):
@@ -175,6 +194,10 @@ def main(argv=None):
                         "family (else uniform; requests may override)")
     p.add_argument("--chains", type=int, default=16,
                    help="ensemble chains per request (compiled batch)")
+    p.add_argument("--data_shards", type=int, default=1,
+                   help="shard the chain ensemble over this many devices' "
+                        "`data` mesh axis (-1 = all; must divide --chains). "
+                        "Chains are independent, so latency divides by N")
     p.add_argument("--levels", type=int, default=0,
                    help="override the recons ladder length (0 = config)")
     p.add_argument("--num_steps_each", type=int, default=None)

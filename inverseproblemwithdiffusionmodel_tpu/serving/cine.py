@@ -21,8 +21,11 @@ from typing import Any, Dict, Optional, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh
 
-from .engine import ReconResult, _make_arg_score_fn
+from .engine import (ReconResult, _make_arg_score_fn, _shard_axis,
+                     _validate_mesh)
+from ..parallel.mesh import replicate
 from ..operators.pair import (PairL2Penalty, PairRandomUndersamplingFourier,
                               PairSENSE)
 from ..samplers.ald import ALDConfig, setup_2d_time_ladders
@@ -65,7 +68,10 @@ class CineReconstructionEngine:
                  module_T=None, params_T=None, sigmas_T=None,
                  mask: Optional[np.ndarray] = None,
                  sens_re: Optional[np.ndarray] = None,
-                 sens_im: Optional[np.ndarray] = None):
+                 sens_im: Optional[np.ndarray] = None,
+                 mesh: Optional[Mesh] = None):
+        _validate_mesh(mesh, spec.chains)
+        self.mesh = mesh
         self.spec = spec
         if "diffusion1d" in spec.mode_T:
             if module_T is None or sigmas_T is None:
@@ -77,6 +83,14 @@ class CineReconstructionEngine:
         self.module_T, self.params_T = module_T, params_T
         self.sigmas_S = jnp.asarray(sigmas_S, jnp.float32)
         self.sigmas_T_raw = jnp.asarray(sigmas_T, jnp.float32)
+        if mesh is not None:
+            # weights/ladders replicated once; chains shard over `data`
+            # (the B*T chain-by-frame axis splits on chain boundaries
+            # because chains % n_data == 0 — _validate_mesh)
+            (self.params_S, self.params_T, self.sigmas_S,
+             self.sigmas_T_raw) = replicate(
+                (self.params_S, self.params_T, self.sigmas_S,
+                 self.sigmas_T_raw), mesh)
         # resolved (scan ladder, per-level sigma_T, per-level RAW label)
         self.scan_sigmas, self.sigmas_T_full, self.labels_T = \
             setup_2d_time_ladders(self.sigmas_S, self.sigmas_T_raw,
@@ -98,6 +112,8 @@ class CineReconstructionEngine:
         self._total_latency = 0.0
 
         self.default_lin_tfm = self._build_lin_tfm(mask, sens_re, sens_im)
+        if mesh is not None:
+            self.default_lin_tfm = replicate(self.default_lin_tfm, mesh)
         self._recon_scan = jax.jit(self._traced_chain)
         self._level_step = jax.jit(self._traced_level_step)
         self._prepare = jax.jit(self._traced_prepare)
@@ -150,8 +166,9 @@ class CineReconstructionEngine:
             y = jnp.expand_dims(y, ax)                    # (.., 1, T, ...)
             shape = y.shape[:ax] + (s.chains,) + y.shape[ax + 1:]
             y = jnp.broadcast_to(y, shape)
-            return y.reshape(y.shape[:ax] + (s.chains * T,) +
-                             y.shape[ax + 2:])
+            y = y.reshape(y.shape[:ax] + (s.chains * T,) +
+                          y.shape[ax + 2:])
+            return _shard_axis(self.mesh, y, ax)
         return bc(yr), bc(yi)
 
     def _traced_chain(self, params_S, params_T, lin_tfm, proximal, yr, yi,
@@ -174,6 +191,8 @@ class CineReconstructionEngine:
         xr, xi = lin_tfm.conj_op(yr, yi)                  # (B*T, H, W, C)
         xr = xr.reshape(s.chains, s.frames, s.height, s.width, s.channels)
         xi = xi.reshape(xr.shape)
+        xr = _shard_axis(self.mesh, xr, 0)
+        xi = _shard_axis(self.mesh, xi, 0)
         return yr, yi, xr, xi
 
     def _traced_level_step(self, params_S, params_T, prox, xr, xi, yr, yi,
@@ -196,6 +215,11 @@ class CineReconstructionEngine:
         return jax.lax.fori_loop(0, s.n_steps_each, inner, (xr, xi, key))
 
     def _run(self, lin_tfm, proximal, yr, yi, lr_scaled, lamda_T, key):
+        if self.mesh is not None:
+            (lin_tfm, proximal, yr, yi, lr_scaled, lamda_T,
+             key) = replicate(
+                (lin_tfm, proximal, yr, yi, lr_scaled, lamda_T, key),
+                self.mesh)
         if self.spec.mode == "scan":
             return self._recon_scan(self.params_S, self.params_T, lin_tfm,
                                     proximal, yr, yi, lr_scaled, lamda_T,
@@ -299,4 +323,7 @@ class CineReconstructionEngine:
             "mean_latency_s": (self._total_latency / self._requests
                                if self._requests else None),
             "jit_cache_size": caches,
+            "mesh": (None if self.mesh is None
+                     else dict(zip(self.mesh.axis_names,
+                                   map(int, self.mesh.devices.shape)))),
         }

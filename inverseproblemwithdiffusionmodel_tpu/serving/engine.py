@@ -37,7 +37,9 @@ from typing import Any, Dict, Optional, Tuple
 import numpy as np
 import jax
 import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from ..parallel.mesh import DATA_AXIS, replicate
 from ..samplers.ald import (ALDConfig, _labels, _langevin_update,
                             compute_seg_grad)
 from ..samplers.ald_pair import _bake_ahy, ald_inverse_proximal_pair
@@ -128,6 +130,34 @@ def _make_arg_score_fn(module, sigmas: jnp.ndarray, dtype: str):
     return make
 
 
+def _validate_mesh(mesh: Optional[Mesh], chains: int) -> None:
+    """A serving mesh shards the chain ensemble over its `data` axis, so
+    the compiled batch must divide evenly (every device runs chains/n_data
+    full chains; no padding rows in a long-lived compiled program)."""
+    if mesh is None:
+        return
+    if DATA_AXIS not in mesh.axis_names:
+        raise ValueError(f"serving mesh needs a {DATA_AXIS!r} axis, got "
+                         f"{mesh.axis_names}")
+    n_data = mesh.shape[DATA_AXIS]
+    if chains % n_data:
+        raise ValueError(f"spec.chains={chains} must be a multiple of the "
+                         f"mesh data axis ({n_data} devices)")
+
+
+def _shard_axis(mesh: Optional[Mesh], x: jnp.ndarray, axis: int
+                ) -> jnp.ndarray:
+    """Constrain `axis` of a traced array to shard over the mesh `data`
+    axis (identity without a mesh). GSPMD propagates the sharding through
+    the whole chain from these few anchors."""
+    if mesh is None:
+        return x
+    spec = [None] * x.ndim
+    spec[axis] = DATA_AXIS
+    return jax.lax.with_sharding_constraint(
+        x, NamedSharding(mesh, P(*spec)))
+
+
 class ReconstructionEngine:
     """Compile-once, serve-many ALD inverse-problem reconstructor.
 
@@ -147,14 +177,25 @@ class ReconstructionEngine:
                  sens_re: Optional[np.ndarray] = None,
                  sens_im: Optional[np.ndarray] = None,
                  seg_module=None, seg_params=None,
-                 seg_label: Optional[np.ndarray] = None):
+                 seg_label: Optional[np.ndarray] = None,
+                 mesh: Optional[Mesh] = None):
         if spec.levels != int(np.shape(sigmas)[0]):
             raise ValueError(f"spec.levels={spec.levels} != "
                              f"len(sigmas)={np.shape(sigmas)[0]}")
+        _validate_mesh(mesh, spec.chains)
+        self.mesh = mesh
         self.spec = spec
         self.module = module
         self.params = params
         self.sigmas = jnp.asarray(sigmas, jnp.float32)
+        if mesh is not None:
+            # one weight replica per device up front; per-request arrays
+            # are placed in _run. Chains shard over the mesh `data` axis —
+            # they are independent Langevin rows (SURVEY.md §2.7), so the
+            # compiled program partitions with no collectives except the
+            # CG proximal's scalar dot products.
+            self.params = replicate(self.params, mesh)
+            self.sigmas = replicate(self.sigmas, mesh)
         self.ald_config = ALDConfig(n_steps_each=spec.n_steps_each,
                                     step_lr=spec.step_lr,
                                     denoise=spec.denoise)
@@ -164,6 +205,8 @@ class ReconstructionEngine:
         # construction (part of the compiled program's structure); the
         # LABEL map and lamda vary per request as traced arguments
         self.seg_module, self.seg_params = seg_module, seg_params
+        if mesh is not None and seg_params is not None:
+            self.seg_params = replicate(self.seg_params, mesh)
         self._has_seg = seg_module is not None
         if self._has_seg:
             self._lh_weights = get_lh_weights(
@@ -176,6 +219,8 @@ class ReconstructionEngine:
         self._total_latency = 0.0
 
         self.default_lin_tfm = self._build_lin_tfm(mask, sens_re, sens_im)
+        if mesh is not None:
+            self.default_lin_tfm = replicate(self.default_lin_tfm, mesh)
         self._recon_scan = jax.jit(self._traced_chain)
         self._level_step = jax.jit(self._traced_level_step)
         self._denoise = jax.jit(self._traced_denoise)
@@ -219,15 +264,18 @@ class ReconstructionEngine:
         s = self.spec
         ax = 1 if s.num_sens else 0
         shape = yr.shape[:ax] + (s.chains,) + yr.shape[ax + 1:]
-        return jnp.broadcast_to(yr, shape), jnp.broadcast_to(yi, shape)
+        return (_shard_axis(self.mesh, jnp.broadcast_to(yr, shape), ax),
+                _shard_axis(self.mesh, jnp.broadcast_to(yi, shape), ax))
 
     def _seg_fn(self, seg_params):
         return lambda x: self.seg_module.apply({"params": seg_params}, x)
 
     def _broadcast_seg_label(self, seg_label):
         """(H, W) request label -> (chains, H, W) on device."""
-        return jnp.broadcast_to(seg_label[None],
-                                (self.spec.chains,) + seg_label.shape)
+        return _shard_axis(
+            self.mesh,
+            jnp.broadcast_to(seg_label[None],
+                             (self.spec.chains,) + seg_label.shape), 0)
 
     def _traced_chain(self, params, seg_params, seg_label, lin_tfm,
                       proximal, yr, yi, lr_scaled, seg_lamda, key):
@@ -292,6 +340,14 @@ class ReconstructionEngine:
     def _run(self, lin_tfm, proximal, yr, yi, lr_scaled, key,
              seg_label=None, seg_lamda=None
              ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        if self.mesh is not None:
+            # per-request arrays (operator overrides, the single-copy
+            # measurement, scalars) join the mesh replicated; the chain
+            # axis shards inside the traced program (_shard_axis anchors)
+            (lin_tfm, proximal, yr, yi, lr_scaled, key, seg_label,
+             seg_lamda) = replicate(
+                (lin_tfm, proximal, yr, yi, lr_scaled, key, seg_label,
+                 seg_lamda), self.mesh)
         if self.spec.mode == "scan":
             return self._recon_scan(self.params, self.seg_params, seg_label,
                                     lin_tfm, proximal, yr, yi, lr_scaled,
@@ -446,4 +502,7 @@ class ReconstructionEngine:
                                if self._requests else None),
             # 1 entry per program when no request ever retraced
             "jit_cache_size": caches,
+            "mesh": (None if self.mesh is None
+                     else dict(zip(self.mesh.axis_names,
+                                   map(int, self.mesh.devices.shape)))),
         }

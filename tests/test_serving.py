@@ -73,11 +73,11 @@ def _spec(**kw):
     return EngineSpec(**base)
 
 
-def _engine(setup, **kw):
+def _engine(setup, mesh=None, **kw):
     return ReconstructionEngine(setup["module"], setup["params"],
                                 setup["sigmas"], spec=_spec(**kw),
                                 mask=setup["mask"],
-                                sens_re=setup["maps"])
+                                sens_re=setup["maps"], mesh=mesh)
 
 
 def test_engine_matches_direct_sampler(setup):
@@ -272,14 +272,14 @@ def _cine_spec(**kw):
     return CineEngineSpec(**base)
 
 
-def _cine_engine(setup, cine_setup, **kw):
+def _cine_engine(setup, cine_setup, mesh=None, **kw):
     from inverseproblemwithdiffusionmodel_tpu.serving import (
         CineReconstructionEngine)
     return CineReconstructionEngine(
         setup["module"], setup["params"], setup["sigmas"],
         spec=_cine_spec(**kw), module_T=cine_setup["module_T"],
         params_T=cine_setup["params_T"], sigmas_T=cine_setup["sigmas_T"],
-        mask=cine_setup["maskT"], sens_re=setup["maps"])
+        mask=cine_setup["maskT"], sens_re=setup["maps"], mesh=mesh)
 
 
 def test_cine_engine_matches_direct_sampler(setup, cine_setup):
@@ -487,3 +487,95 @@ def _parse_serve_args(argv):
         except SystemExit:
             pass
     return captured["args"]
+
+
+# ------------------------------------------------- mesh-sharded serving
+
+def _data_mesh(n):
+    from inverseproblemwithdiffusionmodel_tpu.parallel.mesh import make_mesh
+    return make_mesh(n_data=n, n_model=1)
+
+
+@pytest.mark.parametrize("mode", ["scan", "steps"])
+def test_mesh_engine_matches_single_device(setup, mode):
+    """Chain ensemble sharded over a 4-device data mesh == single-device
+    engine. Chains couple only through the CG proximal's scalar dot
+    products (operators/pair._pair_dot sums over the batch), whose
+    reduction order changes under sharding -> tight allclose, not exact."""
+    eng_1 = _engine(setup, mode=mode)
+    eng_m = _engine(setup, mode=mode, mesh=_data_mesh(4))   # CHAINS=4
+    r1 = eng_1.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0], seed=5)
+    rm = eng_m.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0], seed=5)
+    np.testing.assert_allclose(rm.x_re, r1.x_re, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(rm.x_im, r1.x_im, rtol=1e-4, atol=1e-5)
+    st = eng_m.stats()
+    assert st["mesh"] == {"data": 4, "model": 1}
+    # sharding must not cost extra executables
+    assert all(n <= 1 for n in st["jit_cache_size"])
+
+
+def test_mesh_engine_no_retrace_on_overrides(setup):
+    """Per-request operator overrides on a mesh engine reuse the same
+    sharded executable (replication placement happens outside the jit)."""
+    eng = _engine(setup, mesh=_data_mesh(2))
+    eng.warmup()
+    rng = np.random.RandomState(4)
+    mask2 = (rng.rand(1, 1, W, 1) < 0.6).astype(np.float32)
+    maps2 = rng.rand(NSENS, H, W, 1).astype(np.float32) + 0.1
+    maps2 /= np.sqrt((maps2 ** 2).sum(axis=0, keepdims=True))
+    eng.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0], mask=mask2,
+                    sens_re=maps2, lr_scaled=9.0, seed=8)
+    assert all(n <= 1 for n in eng.stats()["jit_cache_size"])
+
+
+def test_mesh_engine_validates(setup):
+    with pytest.raises(ValueError, match="multiple of the"):
+        _engine(setup, mesh=_data_mesh(3))      # 4 chains % 3 != 0
+    from jax.sharding import Mesh
+    import numpy as _np
+    bad = Mesh(_np.asarray(jax.devices()[:2]).reshape(2), ("rows",))
+    with pytest.raises(ValueError, match="data"):
+        _engine(setup, mesh=bad)
+
+
+def test_mesh_seg_engine_matches_single_device(setup, seg_setup):
+    """Guidance VJPs partition with the chains (seg label rows shard too)."""
+    lb = seg_setup["label"]
+    e1 = _seg_engine(setup, seg_setup)
+    em = ReconstructionEngine(
+        setup["module"], setup["params"], setup["sigmas"], spec=_spec(),
+        mask=setup["mask"], sens_re=setup["maps"],
+        seg_module=seg_setup["module"], seg_params=seg_setup["params"],
+        mesh=_data_mesh(4))
+    r1 = e1.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0], seed=3,
+                        seg_label=lb, seg_lamda=2.0)
+    rm = em.reconstruct(setup["yr"][:, 0], setup["yi"][:, 0], seed=3,
+                        seg_label=lb, seg_lamda=2.0)
+    np.testing.assert_allclose(rm.x_re, r1.x_re, rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("mode", ["scan", "steps"])
+def test_cine_mesh_matches_single_device(setup, cine_setup, mode):
+    """2D+time: the B*T chain-by-frame axis shards on chain boundaries."""
+    y = cine_setup["y"]
+    e1 = _cine_engine(setup, cine_setup, mode=mode)
+    em = _cine_engine(setup, cine_setup, mode=mode, mesh=_data_mesh(2))
+    r1 = e1.reconstruct(y, np.zeros_like(y), seed=6)
+    rm = em.reconstruct(y, np.zeros_like(y), seed=6)
+    np.testing.assert_allclose(rm.x_re, r1.x_re, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(rm.x_im, r1.x_im, rtol=1e-4, atol=1e-5)
+    assert all(n <= 1 for n in em.stats()["jit_cache_size"])
+
+
+def test_serve_cli_data_shards_flag():
+    args = _parse_serve_args(["--data_shards", "2", "--chains", "4"])
+    assert args.data_shards == 2
+    from inverseproblemwithdiffusionmodel_tpu.scripts.serve_recon import (
+        _serving_mesh)
+    mesh = _serving_mesh(args)
+    assert mesh.shape["data"] == 2
+    args.chains = 3
+    with pytest.raises(SystemExit):
+        _serving_mesh(args)
+    args.data_shards = 1
+    assert _serving_mesh(args) is None
