@@ -475,6 +475,26 @@ def load_sanity_check_1d(num_samples: int = 1024, num_channels: int = 4,
 # dispatch (reference: load_data.py:55-92)
 # ---------------------------------------------------------------------------
 
+def _wrap_provenance(fn, name: str):
+    """Record real-vs-synthetic provenance for DIRECT loader calls too
+    (scripts import load_cine etc. without going through load_data)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        prev = _SYNTH_FLAG["v"]
+        _SYNTH_FLAG["v"] = False
+        ds = fn(*args, **kwargs)
+        mode = kwargs.get("mode", "train")
+        _PROVENANCE[f"{name}/{mode}"] = {
+            "source": "synthetic" if _SYNTH_FLAG["v"] else "real",
+            "num_items": len(ds)}
+        _SYNTH_FLAG["v"] = _SYNTH_FLAG["v"] or prev
+        return ds
+
+    return wrapper
+
+
 def load_data(ds_name: str, mode: str = "train", **kwargs) -> ArrayDataset:
     ds = _load_data(ds_name, mode=mode, **kwargs)
     _PROVENANCE[f"{ds_name}/{mode}"] = {
@@ -530,3 +550,12 @@ def _load_data(ds_name: str, mode: str = "train", **kwargs) -> ArrayDataset:
         kwargs.setdefault("size", default_size)
         return load_image_folder(root, mode=mode, name=ds_name, **kwargs)
     raise KeyError(f"unknown dataset {ds_name!r}")
+
+
+# provenance wrapping for the direct-call loader surface (load_data adds
+# its own ds_name-keyed record on top)
+load_mnist = _wrap_provenance(load_mnist, "MNIST")
+load_cifar10 = _wrap_provenance(load_cifar10, "CIFAR10")
+load_cine = _wrap_provenance(load_cine, "CINE")
+load_acdc = _wrap_provenance(load_acdc, "ACDC")
+load_image_folder = _wrap_provenance(load_image_folder, "images")
