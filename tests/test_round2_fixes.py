@@ -140,6 +140,33 @@ def test_real_data_marks_real(tmp_path):
 
 
 # ---------------------------------------------------------------------------
+# enriched cine phantom: temporal dynamics TV cannot model
+# ---------------------------------------------------------------------------
+
+def test_synthetic_cine_has_fast_temporal_dynamics():
+    """The learned-temporal-prior-vs-TV ordering (reference README.md:85
+    table: ALD full best) hinges on the phantom having temporal content a
+    piecewise-constant prior cannot represent: through-plane flicker at
+    4-8 cycles/loop and a non-periodic contrast bolus. Guard the spectral
+    signature so a phantom simplification doesn't silently collapse the
+    cine benchmark back into TV's prior class."""
+    from inverseproblemwithdiffusionmodel_tpu.data.datasets import (
+        synthetic_cine)
+    v = synthetic_cine(4, 24, 64, 64, seed=0)
+    assert v.shape == (4, 24, 64, 64)
+    assert 0.0 <= v.min() and v.max() <= 1.0
+    F = np.fft.rfft(v, axis=1)
+    ac = (np.abs(F[:, 1:]) ** 2).sum()
+    hi = (np.abs(F[:, 4:]) ** 2).sum()   # >3 cycles/loop
+    assert hi / ac > 0.06, (
+        f"fast temporal energy fraction {hi / ac:.3f} too low — flicker "
+        f"component missing?")
+    # non-periodicity: first and last frames of the bolus-affected pool
+    # differ (a pure loop-periodic phantom would close the loop exactly)
+    assert np.abs(v[:, 0] - v[:, -1]).mean() > 1e-3
+
+
+# ---------------------------------------------------------------------------
 # host-stepped MAP pair (axon-large-program fallback, samplers/map_pair.py)
 # ---------------------------------------------------------------------------
 
