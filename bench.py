@@ -174,7 +174,9 @@ def _degraded_exit():
 def _orchestrate():
     """Parent mode: probe, then run the bench child under a deadline with
     one kill-and-relaunch retry; always print a JSON line."""
-    t_end = time.monotonic() + float(os.environ.get("BENCH_DEADLINE", "900"))
+    # default fits under the driver's observed ~1200s kill with margin;
+    # warm-cache child finishes in ~3-5 min, cold compile ~14 min
+    t_end = time.monotonic() + float(os.environ.get("BENCH_DEADLINE", "1080"))
 
     def remaining() -> float:
         return t_end - time.monotonic()

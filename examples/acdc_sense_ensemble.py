@@ -109,6 +109,10 @@ def main(argv=None):
                    default=[0.0003, 0.001, 0.003, 0.01])
     p.add_argument("--retrain", action="store_true")
     p.add_argument("--f32", action="store_true")
+    p.add_argument("--only", default=None,
+                   help="comma subset of {ZF,ALD,MAP,TV} to run "
+                        "(e.g. --only ALD for a recon-only regrid with a "
+                        "saved prior); default all")
     p.add_argument("--quick", action="store_true")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="runs/acdc_sense")
@@ -188,6 +192,11 @@ def main(argv=None):
                               (2, 5, 5, 1))
     phase = resize_align_corners(patch, (S, S), axes=(1, 2))
     results, mags = {}, {}
+    only = (None if args.only is None
+            else {v.strip() for v in args.only.split(",")})
+
+    def _want(name):
+        return only is None or name in only
     for role, idx in (("test", 0), ("val", 1)):
         truth = jnp.asarray(test[idx:idx + 1])          # (1, S, S, 1)
         xr_t = truth * jnp.cos(phase[idx:idx + 1])
@@ -203,7 +212,7 @@ def main(argv=None):
 
     out_rows = {}
 
-    # ZF
+    # ZF (always computed: cheap, and the comparison anchor)
     r = results["test"]
     zr, zi = r["op1"].conj_op(r["yr"], r["yi"])
     zf_mag = jnp.sqrt(zr ** 2 + zi ** 2)[0]
@@ -214,54 +223,58 @@ def main(argv=None):
 
     # ALD ensemble, chunked over chains (the ensemble axis is the mesh/DP
     # axis in production; on one chip we chunk the batch)
-    cfg = ALDConfig(n_steps_each=args.n_steps_each, step_lr=args.step_lr)
-    B = args.chain_chunk
-    opB = make_op(B)
+    if _want("ALD"):
+        cfg = ALDConfig(n_steps_each=args.n_steps_each,
+                        step_lr=args.step_lr)
+        B = args.chain_chunk
+        opB = make_op(B)
 
-    def make_recon(lr_scaled):
-        return make_stepped_pair_reconstructor(
-            fwd, sigmas, opB, PairL2Penalty.with_normal_kernel(opB, num_iters=6), cfg,
-            lr_scaled=lr_scaled)
+        def make_recon(lr_scaled):
+            return make_stepped_pair_reconstructor(
+                fwd, sigmas, opB,
+                PairL2Penalty.with_normal_kernel(opB, num_iters=6), cfg,
+                lr_scaled=lr_scaled)
 
-    # data-consistency weight tuned on the val slice with one chain chunk
-    # (MAP/TV below get val tuning; tuned-best runs are what the reference
-    # table reports)
-    if len(args.ald_lr_scaled_grid) > 1:
-        v = results["val"]
-        yrV = jnp.tile(v["yr"], (1, B, 1, 1, 1))
-        yiV = jnp.tile(v["yi"], (1, B, 1, 1, 1))
-        best = None
-        for lrs in args.ald_lr_scaled_grid:
-            xrv, xiv = make_recon(lrs)(
-                params, yrV, yiV, jax.random.PRNGKey(args.seed + 50))
-            n, s = eval_mag(jnp.sqrt(xrv ** 2 + xiv ** 2).mean(axis=0),
-                            "val")
-            log(f"val ALD lr_scaled={lrs:g}: NRMSE {n:.4f} SSIM {s:.4f}")
-            if best is None or n < best[0]:
-                best = (n, lrs)
-        args.lr_scaled = best[1]
-        log(f"ALD lr_scaled tuned to {args.lr_scaled:g}")
+        # data-consistency weight tuned on the val slice with one chain
+        # chunk (MAP/TV below get val tuning; tuned-best runs are what the
+        # reference table reports)
+        if len(args.ald_lr_scaled_grid) > 1:
+            v = results["val"]
+            yrV = jnp.tile(v["yr"], (1, B, 1, 1, 1))
+            yiV = jnp.tile(v["yi"], (1, B, 1, 1, 1))
+            best = None
+            for lrs in args.ald_lr_scaled_grid:
+                xrv, xiv = make_recon(lrs)(
+                    params, yrV, yiV, jax.random.PRNGKey(args.seed + 50))
+                n, s = eval_mag(jnp.sqrt(xrv ** 2 + xiv ** 2).mean(axis=0),
+                                "val")
+                log(f"val ALD lr_scaled={lrs:g}: NRMSE {n:.4f} "
+                    f"SSIM {s:.4f}")
+                if best is None or n < best[0]:
+                    best = (n, lrs)
+            args.lr_scaled = best[1]
+            log(f"ALD lr_scaled tuned to {args.lr_scaled:g}")
 
-    recon = make_recon(args.lr_scaled)
-    n_chunks = (args.chains + B - 1) // B
-    yrB = jnp.tile(r["yr"], (1, B, 1, 1, 1))
-    yiB = jnp.tile(r["yi"], (1, B, 1, 1, 1))
-    t0 = time.time()
-    acc_re, acc_im = [], []
-    for c in range(n_chunks):
-        xr, xi = recon(params, yrB, yiB,
-                       jax.random.PRNGKey(args.seed + 100 + c))
-        acc_re.append(np.asarray(xr))
-        acc_im.append(np.asarray(xi))
-    xr = np.concatenate(acc_re)[: args.chains]
-    xi = np.concatenate(acc_im)[: args.chains]
-    wall = time.time() - t0
-    ens_mag = jnp.asarray(np.sqrt(xr ** 2 + xi ** 2).mean(axis=0))
-    out_rows["ALD"] = eval_mag(ens_mag, "test")
-    mags["ALD"] = np.asarray(ens_mag)
-    mags["ALD_std"] = np.sqrt(xr ** 2 + xi ** 2).std(axis=0)
-    log(f"ALD x{args.chains}: NRMSE {out_rows['ALD'][0]:.4f} "
-        f"SSIM {out_rows['ALD'][1]:.4f} ({wall:.0f}s)")
+        recon = make_recon(args.lr_scaled)
+        n_chunks = (args.chains + B - 1) // B
+        yrB = jnp.tile(r["yr"], (1, B, 1, 1, 1))
+        yiB = jnp.tile(r["yi"], (1, B, 1, 1, 1))
+        t0 = time.time()
+        acc_re, acc_im = [], []
+        for c in range(n_chunks):
+            xr, xi = recon(params, yrB, yiB,
+                           jax.random.PRNGKey(args.seed + 100 + c))
+            acc_re.append(np.asarray(xr))
+            acc_im.append(np.asarray(xi))
+        xr = np.concatenate(acc_re)[: args.chains]
+        xi = np.concatenate(acc_im)[: args.chains]
+        wall = time.time() - t0
+        ens_mag = jnp.asarray(np.sqrt(xr ** 2 + xi ** 2).mean(axis=0))
+        out_rows["ALD"] = eval_mag(ens_mag, "test")
+        mags["ALD"] = np.asarray(ens_mag)
+        mags["ALD_std"] = np.sqrt(xr ** 2 + xi ** 2).std(axis=0)
+        log(f"ALD x{args.chains}: NRMSE {out_rows['ALD'][0]:.4f} "
+            f"SSIM {out_rows['ALD'][1]:.4f} ({wall:.0f}s)")
 
     # MAP (prior weight tuned on val)
     map_cfg = MAPConfig(n_iters=args.map_iters, lr=args.map_lr)
@@ -286,20 +299,21 @@ def main(argv=None):
                                       config=map_cfg)
 
     best = None
-    for lam in args.map_lamdas:
+    for lam in (args.map_lamdas if _want("MAP") else []):
         v = results["val"]
         xr1, xi1 = f_map(params, v["yr"], v["yi"], lam)
         n, s = eval_mag(jnp.sqrt(xr1 ** 2 + xi1 ** 2)[0], "val")
         log(f"val MAP lamda={lam}: NRMSE {n:.4f} SSIM {s:.4f}")
         if best is None or n < best[0]:
             best = (n, lam)
-    lam = best[1]
-    xr1, xi1 = f_map(params, r["yr"], r["yi"], lam)
-    map_mag = jnp.sqrt(xr1 ** 2 + xi1 ** 2)[0]
-    out_rows["MAP"] = eval_mag(map_mag, "test")
-    mags["MAP"] = np.asarray(map_mag)
-    log(f"MAP (lamda={lam}): NRMSE {out_rows['MAP'][0]:.4f} "
-        f"SSIM {out_rows['MAP'][1]:.4f}")
+    if _want("MAP"):
+        lam = best[1]
+        xr1, xi1 = f_map(params, r["yr"], r["yi"], lam)
+        map_mag = jnp.sqrt(xr1 ** 2 + xi1 ** 2)[0]
+        out_rows["MAP"] = eval_mag(map_mag, "test")
+        mags["MAP"] = np.asarray(map_mag)
+        log(f"MAP (lamda={lam}): NRMSE {out_rows['MAP'][0]:.4f} "
+            f"SSIM {out_rows['MAP'][1]:.4f}")
 
     # TV (reg weight tuned on val)
     @jax.jit
@@ -308,27 +322,32 @@ def main(argv=None):
                                       config=map_cfg)
 
     best = None
-    for reg in args.tv_regs:
+    for reg in (args.tv_regs if _want("TV") else []):
         v = results["val"]
         xr1, xi1 = f_tv(v["yr"], v["yi"], reg)
         n, s = eval_mag(jnp.sqrt(xr1 ** 2 + xi1 ** 2)[0], "val")
         log(f"val TV reg={reg}: NRMSE {n:.4f} SSIM {s:.4f}")
         if best is None or n < best[0]:
             best = (n, reg)
-    reg = best[1]
-    xr1, xi1 = f_tv(r["yr"], r["yi"], reg)
-    tv_mag = jnp.sqrt(xr1 ** 2 + xi1 ** 2)[0]
-    out_rows["TV"] = eval_mag(tv_mag, "test")
-    mags["TV"] = np.asarray(tv_mag)
-    log(f"TV (reg={reg}): NRMSE {out_rows['TV'][0]:.4f} "
-        f"SSIM {out_rows['TV'][1]:.4f}")
+    if _want("TV"):
+        reg = best[1]
+        xr1, xi1 = f_tv(r["yr"], r["yi"], reg)
+        tv_mag = jnp.sqrt(xr1 ** 2 + xi1 ** 2)[0]
+        out_rows["TV"] = eval_mag(tv_mag, "test")
+        mags["TV"] = np.asarray(tv_mag)
+        log(f"TV (reg={reg}): NRMSE {out_rows['TV'][0]:.4f} "
+            f"SSIM {out_rows['TV'][1]:.4f}")
 
     # ---- artifacts ------------------------------------------------------
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
-    names = ["original", "ZF", "ALD", "MAP", "TV"]
-    fig, axes = plt.subplots(1, len(names) + 1, figsize=(3 * 6, 3.2))
+    names = [n for n in ("original", "ZF", "ALD", "MAP", "TV")
+             if n in mags]
+    extra = 1 if "ALD_std" in mags else 0
+    fig, axes = plt.subplots(1, len(names) + extra,
+                             figsize=(3 * 6, 3.2), squeeze=False)
+    axes = axes[0]
     for ax, name in zip(axes, names):
         ax.imshow(np.squeeze(mags[name]), cmap="gray")
         title = name if name == "original" else (
