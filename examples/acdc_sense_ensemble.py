@@ -156,6 +156,10 @@ def main(argv=None):
                                       jnp.ones((args.train_batch,)))["params"]
         params = serialization.from_bytes(params,
                                           open(prior_path, "rb").read())
+        # device_put ONCE: from_bytes leaves are host numpy, and numpy jit
+        # arguments re-upload per call — the host-stepped 2311-level loop
+        # would queue ~900 GB of async transfers (observed 130 GB RSS OOM)
+        params = jax.device_put(params)
     else:
         params = train_score_net(module, data, sigmas, args.train_batch,
                                  args.steps, args.seed, "prior",

@@ -314,9 +314,11 @@ def main(argv=None):
     def get_params(module, data, sigmas_net, batch, steps, seed, tag, path):
         if not args.retrain and os.path.exists(path):
             log(f"loading saved {tag} prior")
-            return serialization.from_bytes(
+            loaded = serialization.from_bytes(
                 init_params(module, data, batch, seed),
                 open(path, "rb").read())
+            # device_put once: numpy leaves re-upload on every jitted call
+            return jax.device_put(loaded)
         params = train_score_net(module, data, sigmas_net, batch, steps,
                                  seed, tag, ckpt_path=path + ".ckpt",
                                  retrain=args.retrain)
