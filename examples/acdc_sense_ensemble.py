@@ -154,8 +154,17 @@ def main(argv=None):
         x0 = jnp.zeros((args.train_batch, S, S, 1))
         params = jax.jit(module.init)(jax.random.PRNGKey(args.seed), x0,
                                       jnp.ones((args.train_batch,)))["params"]
-        params = serialization.from_bytes(params,
-                                          open(prior_path, "rb").read())
+        try:
+            params = serialization.from_bytes(params,
+                                              open(prior_path, "rb").read())
+        except Exception as e:
+            # size-dispatched get_network means a prior.msgpack saved under
+            # an older arch choice no longer matches the param structure
+            raise SystemExit(
+                f"failed to load {prior_path} into the size-dispatched arch "
+                f"{type(module).__name__} (size {S}): {e}\n"
+                "If this prior was trained with a different architecture, "
+                "pass --retrain (or point --out at a fresh run dir).")
         # device_put ONCE: from_bytes leaves are host numpy, and numpy jit
         # arguments re-upload per call — the host-stepped 2311-level loop
         # would queue ~900 GB of async transfers (observed 130 GB RSS OOM)
@@ -359,9 +368,10 @@ def main(argv=None):
             f"SSIM {out_rows[name][1]:.3f}")
         ax.set_title(title, fontsize=9)
         ax.set_axis_off()
-    axes[-1].imshow(np.squeeze(mags["ALD_std"]), cmap="viridis")
-    axes[-1].set_title(f"ALD std ({args.chains} chains)", fontsize=9)
-    axes[-1].set_axis_off()
+    if extra:   # only when ALD ran (--only subsets without it have no std)
+        axes[-1].imshow(np.squeeze(mags["ALD_std"]), cmap="viridis")
+        axes[-1].set_title(f"ALD std ({args.chains} chains)", fontsize=9)
+        axes[-1].set_axis_off()
     fig.tight_layout()
     fig.savefig(os.path.join(args.out, "comparison.png"), dpi=130)
     plt.close(fig)

@@ -59,9 +59,14 @@ def run_sweep(args):
                 f"{proc.stderr[-400:]}")
             continue
         rec = json.loads(line)
+        if rec.get("degraded"):
+            # the wedge-proof parent emits a cached last-good record when
+            # it bails — measured at some OTHER batch; keeping it would put
+            # e.g. a B=16 number in the B=64 row
+            log(f"B={b}: DEGRADED record (cached fallback) — skipped")
+            continue
         out[b] = rec
-        log(f"B={b}: {rec['value']} {rec['unit']}"
-            + (" [DEGRADED]" if rec.get("degraded") else ""))
+        log(f"B={b}: {rec['value']} {rec['unit']}")
     os.makedirs(args.out, exist_ok=True)
     path = os.path.join(args.out, "scaling.json")
     with open(path, "w") as f:
@@ -167,6 +172,12 @@ def run_mesh_audit(args):
     big = [op for op in ("all-gather", "all-to-all", "collective-permute",
                          "reduce-scatter") if census[op] > 0]
     assert not big, f"unexpected tensor collectives in hot path: {big}"
+    # every all-reduce must be scalar-shaped: a full-tensor all-reduce (the
+    # likely GSPMD fallback if the tube reshape reshards) would otherwise
+    # pass while invalidating the linear-8x projection below
+    assert census["all-reduce"] == 0 or scalar_ar >= census["all-reduce"], (
+        f"non-scalar all-reduce in hot path: {census['all-reduce']} sites, "
+        f"only {scalar_ar} scalar f32[]")
     log(f"OK: no tensor collectives; {census['all-reduce']} all-reduce "
         f"site(s), scalar (CG dots)")
 

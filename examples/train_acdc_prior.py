@@ -1,0 +1,232 @@
+"""Full-budget ACDC 256^2 prior training (reference recipe).
+
+Trains NCSNv2Deepest ngf128 with the reference's FULL training budget —
+`/root/reference/ncsn/configs/acdc.yml`: n_iters 80001, batch_size 3,
+Adam lr 1e-4, random horizontal flip (data.random_flip: true), EMA 0.999
+(model.ema_rate) — on synthetic short-axis phantoms (the real ACDC `.npz`
+are not redistributable). Round 2 trained only 14k steps at B=8 and the
+ALD stability edge sat ~20x below the 64^2 experiment's; this run is the
+budget the round-2 diagnosis calls for (docs/RESULTS_ACDC_SENSE.md).
+
+TPU specifics:
+- The sigma ladder is computed EXACTLY as `examples/acdc_sense_ensemble.py`
+  computes it (sigma_max from the same 400-slice dataset draw) so the
+  reconstruction script can reload this prior against an identical ladder.
+- The training SET is larger (--n_train 2000 phantoms vs the ladder's 400)
+  to match the reference's real-data scale (ACDC: ~1.9k slices) — 80k x 3
+  presentations over only 400 phantoms would be 600 epochs of the same
+  images and overfitting, not prior quality.
+- --scan_k steps are fused into ONE jitted lax.scan program: the axon
+  relay costs ~26 ms fixed dispatch per program (CLAUDE.md), which at
+  B=3 (~0.15 s compute/step) would be ~15% overhead host-stepped.
+- Retained snapshots every --snap_every steps (EMA + raw params) feed the
+  round-3 checkpoint-sweep stability experiment (VERDICT.md task 2:
+  stability edge vs training budget, EMA-vs-raw).
+
+Run (background, ~3-5 h on one v5e chip):
+  python examples/train_acdc_prior.py --out runs/acdc_prior_80k
+"""
+from __future__ import annotations
+
+import argparse
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+# persistent compile cache (same knobs as bench.py): restarts of this
+# script skip the ~minutes-long 256^2 ngf128 remote compile
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 os.path.expanduser("~/.cache/ipdm_jax")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from acdc_sense_ensemble import make_dataset  # noqa: E402
+from inverseproblemwithdiffusionmodel_tpu.config import Config
+from inverseproblemwithdiffusionmodel_tpu.models.registry import get_network
+from inverseproblemwithdiffusionmodel_tpu.samplers.sigmas import sigma_ladder
+from inverseproblemwithdiffusionmodel_tpu.training import (
+    TrainState, get_optimizer, make_score_train_step)
+from inverseproblemwithdiffusionmodel_tpu.utils.dataset_stats import (
+    max_pairwise_distance)
+
+
+def log(msg):
+    print(f"[train80k] {msg}", flush=True)
+
+
+def save_params(path, params):
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(serialization.to_bytes(jax.device_get(params)))
+    os.replace(tmp, path)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--ngf", type=int, default=128)
+    p.add_argument("--n_train", type=int, default=2000)
+    p.add_argument("--ladder_n", type=int, default=400,
+                   help="dataset draw used ONLY for sigma_max, matching "
+                        "acdc_sense_ensemble.py's default --n_train")
+    p.add_argument("--levels", type=int, default=2311)
+    p.add_argument("--batch", type=int, default=3,
+                   help="reference acdc.yml training.batch_size")
+    p.add_argument("--steps", type=int, default=80001,
+                   help="reference acdc.yml training.n_iters")
+    p.add_argument("--scan_k", type=int, default=8,
+                   help="train steps fused per jitted dispatch")
+    p.add_argument("--snap_every", type=int, default=10000)
+    p.add_argument("--ckpt_every", type=int, default=2000,
+                   help="rolling resume-checkpoint cadence (full state)")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--no_flip", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="runs/acdc_prior_80k")
+    args = p.parse_args(argv)
+    os.makedirs(args.out, exist_ok=True)
+    S = args.size
+
+    # ---- ladder: EXACTLY the recon script's computation ---------------
+    ladder_data = make_dataset(args.ladder_n, S, args.seed)
+    sigma_max = max_pairwise_distance(ladder_data, max_samples=256)
+    sigmas = sigma_ladder(sigma_max, 0.01, args.levels)
+    log(f"ladder: sigma_max {sigma_max:.1f}, {args.levels} levels")
+
+    # ---- training set -------------------------------------------------
+    # RandomState(seed) draws sequentially, so the first ladder_n slices
+    # are the SAME images the recon script trains/loads against
+    t0 = time.time()
+    data = (ladder_data if args.n_train <= args.ladder_n
+            else make_dataset(args.n_train, S, args.seed))
+    log(f"train set {data.shape} ({time.time() - t0:.0f}s to synthesize)")
+
+    config = Config({"data": {"channels": 1, "image_size": S,
+                              "logit_transform": False, "rescaled": False},
+                     "model": {"ngf": args.ngf, "nonlinearity": "elu",
+                               "normalization": "InstanceNorm++"}})
+    module = get_network(config)
+    log(f"arch: {type(module).__name__}")
+
+    x0 = jnp.zeros((args.batch,) + data.shape[1:])
+    params = jax.jit(module.init)(jax.random.PRNGKey(args.seed), x0,
+                                  jnp.ones((args.batch,)))["params"]
+    opt_cfg = Config({"optim": {"optimizer": "Adam", "lr": args.lr,
+                                "beta1": 0.9, "eps": 1e-8,
+                                "weight_decay": 0.0, "grad_clip": 1.0}})
+    state = TrainState.create(params, get_optimizer(opt_cfg),
+                              ema_decay=0.999)
+
+    shapes = str([tuple(np.shape(l))
+                  for l in jax.tree_util.tree_leaves(params)])
+    fp = hashlib.sha1(
+        f"{args.steps}|{args.seed}|{args.batch}|{args.n_train}|{shapes}"
+        .encode()).hexdigest()[:12]
+    ckpt_path = os.path.join(args.out, "train_state.ckpt")
+    fp_path = ckpt_path + ".fp"
+    start = 0
+    if os.path.exists(ckpt_path):
+        saved_fp = (open(fp_path).read().strip()
+                    if os.path.exists(fp_path) else "<missing>")
+        if saved_fp != fp:
+            log("ignoring stale checkpoint (settings changed)")
+        else:
+            try:
+                restored = serialization.from_bytes(
+                    {"step": 0, "state": state},
+                    open(ckpt_path, "rb").read())
+                start, state = restored["step"], restored["state"]
+                state = jax.device_put(state)  # from_bytes leaves are host
+                log(f"resumed at step {start}")
+            except Exception as e:
+                log(f"ignoring unreadable checkpoint ({e})")
+
+    dt = None if jax.default_backend() == "cpu" else jnp.bfloat16
+    step = make_score_train_step(module, sigmas, data_mode="real-imag",
+                                 compute_dtype=dt)
+
+    K = args.scan_k
+
+    def chunk_fn(st, batches, keys):
+        def body(s, bk):
+            b, k = bk
+            s2, loss = step(s, b, k)
+            return s2, loss
+        st, losses = jax.lax.scan(body, st, (batches, keys))
+        return st, losses.mean()
+
+    chunk = jax.jit(chunk_fn, donate_argnums=(0,))
+
+    base_key = jax.random.PRNGKey(args.seed + 1)
+    log_every = 1000
+
+    def host_batch(i):
+        """Deterministic per-step batch (replayable across resume)."""
+        rs = np.random.RandomState([args.seed, i])
+        idx = rs.choice(len(data), args.batch)
+        b = data[idx]
+        if not args.no_flip:
+            flip = rs.rand(args.batch) < 0.5
+            b = np.where(flip[:, None, None, None], b[:, :, ::-1], b)
+        return b
+
+    t0, done0 = time.time(), start
+    loss_hist = []
+    i = start
+    while i < args.steps:
+        k_here = min(K, args.steps - i)
+        batches = np.stack([host_batch(i + j) for j in range(k_here)])
+        if k_here < K:   # ragged tail: pad by tiling (extra steps are
+            # harmless — they continue training deterministically)
+            reps = -(-K // k_here)
+            batches = np.concatenate([batches] * reps, 0)[:K]
+        keys = jnp.stack([jax.random.fold_in(base_key, i + j)
+                          for j in range(K)])
+        state, mean_loss = chunk(state, jnp.asarray(batches), keys)
+        prev_i, i = i, i + K
+        if (i // log_every) != (prev_i // log_every) or i >= args.steps:
+            ml = float(mean_loss)   # device sync
+            loss_hist.append((i, ml))
+            rate = (i - done0) / max(time.time() - t0, 1e-9)
+            eta = (args.steps - i) / max(rate, 1e-9) / 3600
+            log(f"step {i}: loss {ml:.2f} ({rate:.2f} steps/s, "
+                f"eta {eta:.2f}h)")
+        if (i // args.snap_every) != (prev_i // args.snap_every):
+            snap = (i // args.snap_every) * args.snap_every
+            save_params(os.path.join(args.out, f"prior_{snap:06d}.msgpack"),
+                        state.eval_params)
+            save_params(os.path.join(args.out, f"raw_{snap:06d}.msgpack"),
+                        state.params)
+            log(f"snapshot {snap} saved")
+        if (i // args.ckpt_every) != (prev_i // args.ckpt_every):
+            blob = serialization.to_bytes(
+                {"step": i, "state": jax.device_get(state)})
+            tmp = ckpt_path + ".tmp"
+            open(tmp, "wb").write(blob)
+            os.replace(tmp, ckpt_path)
+            tmp_fp = fp_path + ".tmp"
+            open(tmp_fp, "w").write(fp)
+            os.replace(tmp_fp, fp_path)
+
+    # final prior in the layout acdc_sense_ensemble.py expects
+    save_params(os.path.join(args.out, "prior.msgpack"), state.eval_params)
+    save_params(os.path.join(args.out, "raw_final.msgpack"), state.params)
+    np.savetxt(os.path.join(args.out, "loss_history.txt"),
+               np.asarray(loss_hist))
+    log(f"done: {args.steps} steps in {(time.time() - t0) / 3600:.2f}h "
+        f"(this process)")
+
+
+if __name__ == "__main__":
+    main()

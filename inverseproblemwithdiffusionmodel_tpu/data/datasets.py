@@ -479,13 +479,21 @@ def _wrap_provenance(fn, name: str):
     """Record real-vs-synthetic provenance for DIRECT loader calls too
     (scripts import load_cine etc. without going through load_data)."""
     import functools
+    import inspect
+
+    sig = inspect.signature(fn)
 
     @functools.wraps(fn)
     def wrapper(*args, **kwargs):
         prev = _SYNTH_FLAG["v"]
         _SYNTH_FLAG["v"] = False
         ds = fn(*args, **kwargs)
-        mode = kwargs.get("mode", "train")
+        # bind positionally too: load_mnist("test") must record .../test
+        try:
+            bound = sig.bind_partial(*args, **kwargs).arguments
+        except TypeError:
+            bound = kwargs
+        mode = bound.get("mode", "train")
         _PROVENANCE[f"{name}/{mode}"] = {
             "source": "synthetic" if _SYNTH_FLAG["v"] else "real",
             "num_items": len(ds)}
@@ -493,6 +501,14 @@ def _wrap_provenance(fn, name: str):
         return ds
 
     return wrapper
+
+
+def reset_provenance() -> None:
+    """Clear the process-global provenance map. Long-lived processes
+    (serving, notebooks, multi-run scripts) call this at run start so
+    `save_artifacts` stamps only the datasets the CURRENT run loaded."""
+    _PROVENANCE.clear()
+    _SYNTH_FLAG["v"] = False
 
 
 def load_data(ds_name: str, mode: str = "train", **kwargs) -> ArrayDataset:

@@ -1,4 +1,6 @@
 """Mesh / sharding / ensemble utilities on the 8-device virtual CPU mesh."""
+import re
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,6 +10,23 @@ from inverseproblemwithdiffusionmodel_tpu.parallel import (
     make_mesh, data_sharding, shard_batch, replicate, pad_to_multiple,
     repeat_measurement, ensemble_keys, run_sharded_ensemble,
     ensemble_mean_std)
+
+
+def assert_collective_census(hlo: str) -> None:
+    """The scaling-design invariant (SURVEY 2.7, examples/chain_scaling.py):
+    a chain-sharded hot loop may contain NO tensor collectives — chains are
+    independent — and every all-reduce site must be scalar-shaped (the CG
+    proximal's dot products). A full-tensor all-reduce is the likely GSPMD
+    fallback if e.g. the tube reshape reshards, and would silently break
+    the linear-ICI-scaling projection the README cites."""
+    for op in ("all-to-all", "all-gather", "collective-permute",
+               "reduce-scatter"):
+        assert op not in hlo, f"unexpected tensor collective {op}"
+    # result shape precedes the op name: `%x = f32[] all-reduce(...)`
+    # (or a tuple of scalars). Any digit inside [] means a tensor.
+    for shape in re.findall(r"=\s*(\(?[^=\n]*?)\s*all-reduce", hlo):
+        assert not re.search(r"\[\s*\d", shape), \
+            f"non-scalar all-reduce in sharded hot loop: {shape}"
 
 
 def test_make_mesh_shapes():
@@ -123,6 +142,62 @@ def test_sharded_pair_reconstruction_matches_unsharded():
                                rtol=1e-4, atol=1e-5)
 
 
+def test_census_real_net_64px_chain_sharded():
+    """Collective census at production-class shapes (VERDICT r2 task 7):
+    a REAL NCSNv2 ngf32 score net at 64^2, 8 ALD chains sharded 8-way over
+    the mesh data axis, CG proximal SENSE data consistency. The compiled
+    HLO must satisfy the census invariant: zero tensor collectives, every
+    all-reduce scalar (the CG dots) — this is the basis of the linear
+    x8 ICI throughput projection (examples/chain_scaling.py)."""
+    from inverseproblemwithdiffusionmodel_tpu.config import Config
+    from inverseproblemwithdiffusionmodel_tpu.models.registry import (
+        get_network, make_score_fn)
+    from inverseproblemwithdiffusionmodel_tpu.operators import make_sense
+    from inverseproblemwithdiffusionmodel_tpu.operators.pair import (
+        PairSENSE, PairL2Penalty)
+    from inverseproblemwithdiffusionmodel_tpu.samplers import ALDConfig
+    from inverseproblemwithdiffusionmodel_tpu.samplers.ald_pair import (
+        ald_inverse_proximal_pair)
+    from inverseproblemwithdiffusionmodel_tpu.samplers.sigmas import (
+        sigma_ladder)
+
+    S, B = 64, 8
+    mesh = make_mesh()
+    config = Config({"data": {"channels": 1, "image_size": S,
+                              "logit_transform": False, "rescaled": False},
+                     "model": {"ngf": 32, "nonlinearity": "elu",
+                               "normalization": "InstanceNorm++"}})
+    module = get_network(config)
+    sigmas = sigma_ladder(10.0, 0.01, 4)
+    x0 = jnp.zeros((2 * B, S, S, 1))
+    params = jax.jit(module.init)(jax.random.PRNGKey(0), x0,
+                                  jnp.ones((2 * B,)))["params"]
+    score_fn = make_score_fn(module, params, sigmas)
+
+    sense = make_sense("exp", 4, S, 0.1, (S, S, 1), seed=0, num_frames=1)
+    pair = PairSENSE.from_complex(sense)
+    target = jnp.ones((B, S, S, 1)) * 0.5
+    yr, yi = pair(target, jnp.zeros_like(target))
+    prox = PairL2Penalty.with_normal_kernel(pair, num_iters=6)
+    cfg = ALDConfig(n_steps_each=1, step_lr=3e-5)
+
+    @jax.jit
+    def recon(yr, yi, k):
+        return ald_inverse_proximal_pair(score_fn, sigmas, (yr, yi), pair,
+                                         prox, k, cfg, lr_scaled=50.0)
+
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    chain_sh = NamedSharding(mesh, P(None, "data"))   # coil, CHAIN, H, W, C
+    yr_s = jax.device_put(yr, chain_sh)
+    yi_s = jax.device_put(yi, chain_sh)
+    key = jax.random.PRNGKey(1)
+    hlo = recon.lower(yr_s, yi_s, key).compile().as_text()
+    assert_collective_census(hlo)
+    # and it executes on the mesh
+    xr, xi = recon(yr_s, yi_s, key)
+    assert np.isfinite(np.asarray(xr)).all()
+
+
 def test_distributed_helpers_single_process():
     """Single-process semantics of the multi-host helpers: initialize is a
     no-op, this process is primary, batch slice covers everything."""
@@ -219,10 +294,7 @@ def test_sharded_2d_time_matches_unsharded():
     # would mean GSPMD resharded the tube axis); the only cross-chip traffic
     # allowed in the chain is the CG proximal's scalar all-reduce dots.
     hlo = recon.lower(yr_sh, yi_sh, key).compile().as_text()
-    for op in ("all-to-all", "all-gather", "collective-permute",
-               "reduce-scatter"):
-        assert op not in hlo, \
-            f"unexpected tensor collective {op} in the sharded 2D+time HLO"
+    assert_collective_census(hlo)
 
 
 def test_run_sharded_ensemble_indivisible_count():
