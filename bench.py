@@ -382,6 +382,12 @@ def _bench_impl():
         "value": round(value, 3),
         "unit": "ALD_steps/sec/chip",
         "vs_baseline": round(value / DEFAULT_BASE, 3),
+        # x8-chip ICI projection (linear: zero tensor collectives in the
+        # hot loop, tests/test_parallel.py census invariant) vs the
+        # generous A100 model for the reference implementation
+        # (42.4 chain-steps/s: perfectly batched TF32 at 45% peak —
+        # arithmetic in BASELINE.md "Current standing vs the north star")
+        "vs_a100x8_est": round(value * 8 / 42.4, 2),
     }))
 
 

@@ -174,7 +174,7 @@ def test_census_real_net_64px_chain_sharded():
                                   jnp.ones((2 * B,)))["params"]
     score_fn = make_score_fn(module, params, sigmas)
 
-    sense = make_sense("exp", 4, S, 0.1, (S, S, 1), seed=0, num_frames=1)
+    sense = make_sense("exp", 4, 8, 0.1, (S, S, 1), seed=0, num_frames=1)
     pair = PairSENSE.from_complex(sense)
     target = jnp.ones((B, S, S, 1)) * 0.5
     yr, yi = pair(target, jnp.zeros_like(target))
