@@ -85,7 +85,8 @@ def dice(pred: np.ndarray, ref: np.ndarray) -> float:
     return 2.0 * inter / max(float(pred.sum() + ref.sum()), 1.0)
 
 
-def train_seg_net(module, imgs, masks, batch, steps, seed, ckpt_path=None):
+def train_seg_net(module, imgs, masks, batch, steps, seed, ckpt_path=None,
+                  perturb_sigmas=None):
     """Small DiceCE training loop (reference: helpers/pl_helpers.py:264-352);
     deterministic step-indexed batch/key streams like train_score_net."""
     from flax import serialization
@@ -100,7 +101,14 @@ def train_seg_net(module, imgs, masks, batch, steps, seed, ckpt_path=None):
         restored = serialization.from_bytes(
             state.params, open(ckpt_path, "rb").read())
         return restored
-    step_fn = make_seg_train_step(module, jnp.asarray([1.0]))
+    # noise-matched training: perturb inputs over the (capped) recon
+    # ladder so the seg gradient is informative mid-chain; default matches
+    # the reference's clean-input training (seg_loss.py:20-21)
+    if perturb_sigmas is not None:
+        step_fn = make_seg_train_step(module, jnp.asarray(perturb_sigmas),
+                                      perturb=True)
+    else:
+        step_fn = make_seg_train_step(module, jnp.asarray([1.0]))
     n = imgs.shape[0]
     t0 = time.time()
     for s in range(steps):
@@ -135,6 +143,18 @@ def main(argv=None):
     p.add_argument("--seg_lamda_grid", type=float, nargs="+",
                    default=[3.0, 10.0, 30.0, 100.0])
     p.add_argument("--seg_start_time", type=float, default=0.0)
+    p.add_argument("--seg_mode", default="full", choices=["full", "FG"],
+                   help="FG masks the seg-likelihood gradient to foreground "
+                        "pixels (robustness probe: keeps guidance from "
+                        "pulling background toward wrong anatomy)")
+    p.add_argument("--seg_perturb", action="store_true",
+                   help="noise-matched seg training: perturb seg-net inputs "
+                        "with ladder noise up to --seg_perturb_max_sigma "
+                        "(the reference computes but DISABLES this, "
+                        "ncsn/losses/seg_loss.py:20-21; enabling it makes "
+                        "the seg gradient meaningful at the noise levels "
+                        "where the lh ramp is active)")
+    p.add_argument("--seg_perturb_max_sigma", type=float, default=1.0)
     p.add_argument("--n_test", type=int, default=3,
                    help="held-out test slices (metrics averaged)")
     p.add_argument("--chains", type=int, default=35,
@@ -213,10 +233,15 @@ def main(argv=None):
 
     seg_module = UNet(out_channels=2, features=(32, 64, 128),
                       strides=(2, 2), ndim=2)
+    pert = None
+    seg_ckpt = os.path.join(args.out, "seg.msgpack")
+    if args.seg_perturb:
+        sig_np = np.asarray(sigmas)
+        pert = sig_np[sig_np <= args.seg_perturb_max_sigma]
+        seg_ckpt = os.path.join(args.out, "seg_perturbed.msgpack")
     seg_params = train_seg_net(seg_module, imgs, masks, 16, args.seg_steps,
-                               args.seed,
-                               ckpt_path=os.path.join(args.out,
-                                                      "seg.msgpack"))
+                               args.seed, ckpt_path=seg_ckpt,
+                               perturb_sigmas=pert)
     seg_params_d = jax.tree_util.tree_map(jnp.asarray, seg_params)
 
     def seg_fn(p, x):                # weights as argument (axon-safe jit)
@@ -292,7 +317,8 @@ def main(argv=None):
             kw = dict(seg_fn=seg_fn, seg_params=seg_params_d,
                       seg_label=jnp.tile(slices[idx]["label"], (B, 1, 1)),
                       seg_lamda=seg_lamda,
-                      seg_start_time=args.seg_start_time)
+                      seg_start_time=args.seg_start_time,
+                      seg_mode=args.seg_mode)
         recon = make_stepped_pair_reconstructor(
             fwd, sigmas, pair_op, prox, cfg, lr_scaled=lr_scaled, **kw)
         yrB = jnp.tile(slices[idx]["yr"], (B, 1, 1, 1))

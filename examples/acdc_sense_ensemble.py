@@ -108,6 +108,18 @@ def main(argv=None):
     p.add_argument("--tv_regs", type=float, nargs="+",
                    default=[0.0003, 0.001, 0.003, 0.01])
     p.add_argument("--retrain", action="store_true")
+    p.add_argument("--prior_path", default=None,
+                   help="explicit score-net msgpack to load (e.g. a "
+                        "train_acdc_prior.py snapshot, or raw_*.msgpack "
+                        "for the EMA-vs-raw stability comparison); "
+                        "default: <out>/prior.msgpack")
+    p.add_argument("--ald_anneal_start", type=float, default=1.0,
+                   help="annealed data-consistency schedule: multiplier "
+                        "on lr_scaled at the TOP of the ladder, ramping "
+                        "geometrically to 1x at the bottom (low early / "
+                        "high late). 1.0 = constant weight (reference "
+                        "semantics). Stability mitigation probe, "
+                        "VERDICT r2 task 2")
     p.add_argument("--f32", action="store_true")
     p.add_argument("--only", default=None,
                    help="comma subset of {ZF,ALD,MAP,TV} to run "
@@ -147,10 +159,12 @@ def main(argv=None):
         get_network)
     module = get_network(config)
     log(f"arch: {type(module).__name__} (size {S})")
-    prior_path = os.path.join(args.out, "prior.msgpack")
+    prior_path = args.prior_path or os.path.join(args.out, "prior.msgpack")
+    if args.prior_path and not os.path.exists(args.prior_path):
+        raise SystemExit(f"--prior_path {args.prior_path} does not exist")
     from flax import serialization
     if not args.retrain and os.path.exists(prior_path):
-        log("loading saved prior")
+        log(f"loading saved prior ({prior_path})")
         x0 = jnp.zeros((args.train_batch, S, S, 1))
         params = jax.jit(module.init)(jax.random.PRNGKey(args.seed), x0,
                                       jnp.ones((args.train_batch,)))["params"]
@@ -243,6 +257,11 @@ def main(argv=None):
         opB = make_op(B)
 
         def make_recon(lr_scaled):
+            if args.ald_anneal_start != 1.0:
+                # geometric ramp start_mult*w -> w over the ladder; each
+                # level still gets a traced scalar (no recompiles)
+                lr_scaled = np.geomspace(args.ald_anneal_start * lr_scaled,
+                                         lr_scaled, args.levels)
             return make_stepped_pair_reconstructor(
                 fwd, sigmas, opB,
                 PairL2Penalty.with_normal_kernel(opB, num_iters=6), cfg,

@@ -333,7 +333,13 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
         g_re, g_im = unstack_parts(grads)
         return xr + sigma_last ** 2 * g_re, xi + sigma_last ** 2 * g_im
 
-    lr_scaled_t = jnp.float32(lr_scaled)
+    # lr_scaled may be a scalar or a PER-LEVEL schedule (L,) — e.g. an
+    # annealed data-consistency weight (low early, high late), a stability
+    # mitigation for trained priors whose effective-weight edge binds
+    # (docs/RESULTS_ACDC_SENSE.md). Each level still receives a traced
+    # SCALAR, so every schedule shares the one compiled program.
+    lr_sched = jnp.broadcast_to(
+        jnp.asarray(lr_scaled, jnp.float32).reshape(-1), (L,))
     seg_lamda_t = jnp.float32(seg_lamda)
 
     def recon(params, yr, yi, key):
@@ -342,7 +348,7 @@ def make_stepped_pair_reconstructor(module, sigmas: jnp.ndarray, lin_tfm,
         for c in range(L):
             xr, xi, key = level_step(params, prox, xr, xi, yr, yi,
                                      jnp.int32(c), sigmas[c],
-                                     lh_weights[c], lr_scaled_t,
+                                     lh_weights[c], lr_sched[c],
                                      seg_lamda_t, seg_params, seg_label2,
                                      key)
             # host-stepped loop: call the diagnostics hook directly
