@@ -1,0 +1,259 @@
+"""End-to-end continuous-stack artifact: train a small NCSN++ under the VE
+SDE, then PC-sample and probability-flow-ODE-sample from the trained
+weights (VERDICT r2 "Missing #4": the L1/L2/L6 stack had never produced an
+image from trained weights).
+
+Mirrors the reference's continuous pipeline — score_sde-style config leaf
+(`configs_continuous.get_continuous_config("ve/cifar10_ncsnpp_continuous")`,
+reference configs/ve/cifar10_ncsnpp_continuous.py), continuous DSM loss
+(`make_continuous_score_train_step`, reference helpers/pl_helpers.py:31-96),
+PC sampler (reverse-diffusion predictor + Langevin corrector, reference
+sde/sampling.py:360-416) and on-device ODE sampler (:419-490) — scaled to a
+small NCSN++ on synthetic data so the whole artifact reproduces in minutes.
+
+TPU notes: the PC chain is ONE jitted lax.scan over sde.N timesteps; params
+travel as jit arguments (axon-safe); bf16 compute on TPU, f32 on CPU.
+
+  python examples/continuous_ncsnpp_demo.py --out runs/continuous_demo
+  (add --quick for a CI-sized smoke)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                                 os.path.expanduser("~/.cache/ipdm_jax")))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from inverseproblemwithdiffusionmodel_tpu.configs_continuous import (
+    get_continuous_config, make_sde)
+from inverseproblemwithdiffusionmodel_tpu.data import transforms as dT
+from inverseproblemwithdiffusionmodel_tpu.data.datasets import (
+    synthetic_acdc_slice, synthetic_digits)
+from inverseproblemwithdiffusionmodel_tpu.models import NCSNpp
+from inverseproblemwithdiffusionmodel_tpu.sde.sampling import (
+    get_ode_sampler, get_pc_sampler, get_score_fn)
+from inverseproblemwithdiffusionmodel_tpu.training import (
+    TrainState, get_optimizer, make_continuous_score_train_step)
+from inverseproblemwithdiffusionmodel_tpu.utils.dataset_stats import (
+    max_pairwise_distance)
+from inverseproblemwithdiffusionmodel_tpu.config import Config
+
+
+def log(msg):
+    print(f"[cont] {msg}", flush=True)
+
+
+def make_data(kind: str, n: int, size: int, seed: int) -> np.ndarray:
+    if kind == "digits":
+        xs, _ = synthetic_digits(n, size, seed)
+        return xs[..., None].astype(np.float32)
+    rng = np.random.RandomState(seed)
+    out = np.empty((n, size, size, 1), np.float32)
+    for i in range(n):
+        img, _ = synthetic_acdc_slice(rng)
+        img = dT.scale_intensity(img)
+        out[i, ..., 0] = dT.resize(img, (size, size))[0]
+    return out
+
+
+def save_grid(path: str, imgs: np.ndarray, title: str):
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    n = imgs.shape[0]
+    cols = int(np.ceil(np.sqrt(n)))
+    rows = int(np.ceil(n / cols))
+    fig, axes = plt.subplots(rows, cols, figsize=(1.6 * cols, 1.6 * rows),
+                             squeeze=False)
+    for i, ax in enumerate(axes.flat):
+        if i < n:
+            ax.imshow(np.squeeze(imgs[i]), cmap="gray")
+        ax.set_axis_off()
+    fig.suptitle(title)
+    fig.tight_layout()
+    fig.savefig(path, dpi=120)
+    plt.close(fig)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--leaf", default="ve/cifar10_ncsnpp_continuous",
+                   help="configs_continuous leaf to scale down")
+    p.add_argument("--data", default="acdc", choices=["acdc", "digits"])
+    p.add_argument("--size", type=int, default=32)
+    p.add_argument("--nf", type=int, default=32)
+    p.add_argument("--num_res_blocks", type=int, default=2)
+    p.add_argument("--n_train", type=int, default=400)
+    p.add_argument("--steps", type=int, default=4000)
+    p.add_argument("--batch", type=int, default=16)
+    p.add_argument("--num_scales", type=int, default=500,
+                   help="SDE discretization N for PC sampling")
+    p.add_argument("--samples", type=int, default=16)
+    p.add_argument("--scan_k", type=int, default=4)
+    p.add_argument("--quick", action="store_true")
+    p.add_argument("--retrain", action="store_true")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--out", default="runs/continuous_demo")
+    args = p.parse_args(argv)
+    if args.quick:
+        args.size, args.nf, args.n_train = 16, 16, 32
+        args.steps, args.num_scales, args.samples = 30, 20, 4
+        args.batch = 4
+    os.makedirs(args.out, exist_ok=True)
+    S = args.size
+
+    data = make_data(args.data, args.n_train, S, args.seed)
+    # VE sigma_max from the data (Song & Ermon technique 1), as the
+    # discrete stack does; cifar10's 50 is tuned to 32^2 RGB [0,1]
+    sigma_max = float(max_pairwise_distance(data, max_samples=256))
+    cfg = get_continuous_config(args.leaf).replace(**{
+        "data.image_size": S, "data.num_channels": 1,
+        "model.nf": args.nf, "model.num_res_blocks": args.num_res_blocks,
+        "model.ch_mult": (1, 2, 2), "model.attn_resolutions": (16,),
+        "model.num_scales": args.num_scales, "model.sigma_max": sigma_max,
+        "training.batch_size": args.batch})
+    sde = make_sde(cfg)
+    log(f"{cfg.model.name} nf{args.nf} at {S}^2, {cfg.training.sde} "
+        f"sigma_max {sigma_max:.1f}, N={args.num_scales}")
+
+    module = NCSNpp(config=cfg)
+    x0 = jnp.zeros((args.batch, S, S, 1))
+    cond0 = jnp.ones((args.batch,))
+    init = jax.jit(lambda k: module.init(k, x0, cond0))
+    variables = init(jax.random.PRNGKey(args.seed))
+    params = variables["params"]
+    n_params = sum(int(np.prod(np.shape(l)))
+                   for l in jax.tree_util.tree_leaves(params))
+    log(f"{n_params / 1e6:.2f} M params")
+
+    opt_cfg = Config({"optim": {"optimizer": "Adam", "lr": 2e-4,
+                                "beta1": 0.9, "eps": 1e-8,
+                                "weight_decay": 0.0, "grad_clip": 1.0}})
+    state = TrainState.create(params, get_optimizer(opt_cfg),
+                              ema_decay=0.999)
+
+    ckpt = os.path.join(args.out, "ncsnpp.msgpack")
+    dt = None if jax.default_backend() == "cpu" else jnp.bfloat16
+    if not args.retrain and os.path.exists(ckpt):
+        log("loading trained NCSN++")
+        params = serialization.from_bytes(params, open(ckpt, "rb").read())
+        params = jax.device_put(params)
+    else:
+        step = make_continuous_score_train_step(module, sde,
+                                                compute_dtype=dt)
+        K = args.scan_k
+
+        def chunk_fn(st, batches, keys):
+            def body(s, bk):
+                s2, loss = step(s, bk[0], bk[1])
+                return s2, loss
+            st, losses = jax.lax.scan(body, st, (batches, keys))
+            return st, losses.mean()
+
+        chunk = jax.jit(chunk_fn, donate_argnums=(0,))
+        base = jax.random.PRNGKey(args.seed + 1)
+        t0 = time.time()
+        i = 0
+        while i < args.steps:
+            bs = np.stack([data[np.random.RandomState([args.seed, i + j])
+                                .choice(len(data), args.batch)]
+                           for j in range(K)])
+            ks = jnp.stack([jax.random.fold_in(base, i + j)
+                            for j in range(K)])
+            state, mean_loss = chunk(state, jnp.asarray(bs), ks)
+            i += K
+            if i % max(args.steps // 8, K) < K:
+                log(f"step {i}: loss {float(mean_loss):.4f} "
+                    f"({time.time() - t0:.0f}s)")
+        params = state.eval_params
+        open(ckpt + ".tmp", "wb").write(
+            serialization.to_bytes(jax.device_get(params)))
+        os.replace(ckpt + ".tmp", ckpt)
+        log(f"trained {args.steps} steps in {time.time() - t0:.0f}s")
+
+    # ---- sampling from trained weights --------------------------------
+    shape = (args.samples, S, S, 1)
+    results = {}
+
+    def model_fn(p, x, cond):
+        out = module.apply({"params": p}, x, cond)
+        return out
+
+    pc = get_pc_sampler(sde, shape,
+                        predictor=cfg.sampling.predictor.lower(),
+                        corrector=cfg.sampling.corrector.lower(),
+                        snr=cfg.sampling.snr,
+                        n_steps=cfg.sampling.n_steps_each)
+
+    @jax.jit
+    def run_pc(p, key):
+        sf = get_score_fn(sde, lambda x, c: model_fn(p, x, c),
+                          continuous=True)
+        return pc(sf, key)[0]
+
+    # compile, then time (vary the key per call; fetch forces sync)
+    t0 = time.time()
+    x_pc = run_pc(params, jax.random.PRNGKey(args.seed + 7))
+    float(jnp.sum(x_pc))
+    compile_and_run = time.time() - t0
+    t0 = time.time()
+    x_pc = run_pc(params, jax.random.PRNGKey(args.seed + 8))
+    float(jnp.sum(x_pc))
+    pc_wall = time.time() - t0
+    nfe = args.num_scales * (cfg.sampling.n_steps_each + 1)
+    results["pc"] = {
+        "nfe": nfe, "wall_s": round(pc_wall, 2),
+        "net_evals_per_sec": round(nfe * args.samples / pc_wall, 1),
+        "compile_plus_first_run_s": round(compile_and_run, 1)}
+    log(f"PC: {nfe} NFE x {args.samples} samples in {pc_wall:.1f}s "
+        f"({results['pc']['net_evals_per_sec']} evals/s)")
+    save_grid(os.path.join(args.out, "pc_samples.png"), np.asarray(x_pc),
+              f"PC ({cfg.sampling.predictor}+{cfg.sampling.corrector}), "
+              f"N={args.num_scales}, trained {args.steps} steps")
+
+    ode = get_ode_sampler(sde, shape, denoise=True)
+
+    @jax.jit
+    def run_ode(p, key):
+        sf = get_score_fn(sde, lambda x, c: model_fn(p, x, c),
+                          continuous=True)
+        x, _ = ode(sf, key)
+        return x
+
+    t0 = time.time()
+    x_ode = run_ode(params, jax.random.PRNGKey(args.seed + 9))
+    float(jnp.sum(x_ode))
+    t0 = time.time()
+    x_ode = run_ode(params, jax.random.PRNGKey(args.seed + 10))
+    float(jnp.sum(x_ode))
+    ode_wall = time.time() - t0
+    results["ode"] = {"wall_s": round(ode_wall, 2)}
+    log(f"ODE: {args.samples} samples in {ode_wall:.1f}s")
+    save_grid(os.path.join(args.out, "ode_samples.png"), np.asarray(x_ode),
+              f"probability-flow ODE, trained {args.steps} steps")
+
+    results["config"] = {"leaf": args.leaf, "size": S, "nf": args.nf,
+                         "steps": args.steps, "sigma_max": sigma_max,
+                         "data": args.data, "backend": jax.default_backend(),
+                         "n_params_M": round(n_params / 1e6, 2)}
+    with open(os.path.join(args.out, "results.json"), "w") as f:
+        json.dump(results, f, indent=2)
+    log(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()

@@ -90,6 +90,11 @@ def main(argv=None):
     p.add_argument("--snap_every", type=int, default=10000)
     p.add_argument("--ckpt_every", type=int, default=2000,
                    help="rolling resume-checkpoint cadence (full state)")
+    p.add_argument("--sync_every", type=int, default=8,
+                   help="force a device->host scalar fetch every N chunks: "
+                        "caps the async dispatch queue (un-synced, the host "
+                        "runs ~125 chunks ahead and the 16MB/chunk RPC "
+                        "flood wedges the axon relay — observed r3)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--no_flip", action="store_true")
     p.add_argument("--seed", type=int, default=0)
@@ -195,6 +200,9 @@ def main(argv=None):
                           for j in range(K)])
         state, mean_loss = chunk(state, jnp.asarray(batches), keys)
         prev_i, i = i, i + K
+        if args.sync_every and (i // (K * args.sync_every)) != (
+                prev_i // (K * args.sync_every)):
+            float(mean_loss)
         if (i // log_every) != (prev_i // log_every) or i >= args.steps:
             ml = float(mean_loss)   # device sync
             loss_hist.append((i, ml))

@@ -516,6 +516,50 @@ def test_stepped_pair_with_seg_matches_scanned(sense_pair):
                                    atol=1e-5, err_msg=seg_mode)
 
 
+def test_stepped_pair_per_level_lr_schedule(sense_pair):
+    """lr_scaled as a per-level (L,) schedule: a CONSTANT schedule must
+    bit-match the scalar path, and an annealed (low-early) schedule must
+    differ from it while matching the scalar path run at the final weight
+    only in its tail behavior (sanity: finite, different trajectory)."""
+    from flax import linen as nn
+    from inverseproblemwithdiffusionmodel_tpu.samplers.ald_pair import (
+        make_stepped_pair_reconstructor)
+    sense, pair = sense_pair
+    yy, xx = jnp.mgrid[0:H, 0:W]
+    mag = jnp.exp(-(((yy - 8) ** 2 + (xx - 6) ** 2) / 20.0))[None, :, :, None]
+    yr, yi = pair(mag, jnp.zeros_like(mag))
+    sigmas = sigma_ladder(1.0, 0.01, 10)
+
+    class TinyNet(nn.Module):
+        @nn.compact
+        def __call__(self, x, cond):
+            sig = cond.reshape((-1,) + (1,) * (x.ndim - 1))
+            w = self.param("w", nn.initializers.ones, ())
+            return -w * x / (sig ** 2 + 10.0)
+
+    mod = TinyNet()
+    ps = mod.init(jax.random.PRNGKey(0),
+                  jnp.zeros((2, H, W, 1)), jnp.ones((2,)))["params"]
+    prox = PairL2Penalty(lin_tfm=pair, num_iters=3)
+    cfg = ALDConfig(n_steps_each=2, step_lr=3e-5)
+
+    scalar = make_stepped_pair_reconstructor(mod, sigmas, pair, prox, cfg,
+                                             lr_scaled=50.0)
+    const = make_stepped_pair_reconstructor(
+        mod, sigmas, pair, prox, cfg, lr_scaled=np.full(10, 50.0))
+    ramp = make_stepped_pair_reconstructor(
+        mod, sigmas, pair, prox, cfg,
+        lr_scaled=np.geomspace(5.0, 50.0, 10))
+    k = jax.random.PRNGKey(1)
+    xr_s, xi_s = scalar(ps, yr, yi, k)
+    xr_c, xi_c = const(ps, yr, yi, k)
+    xr_r, xi_r = ramp(ps, yr, yi, k)
+    np.testing.assert_array_equal(np.asarray(xr_s), np.asarray(xr_c))
+    np.testing.assert_array_equal(np.asarray(xi_s), np.asarray(xi_c))
+    assert np.isfinite(np.asarray(xr_r)).all()
+    assert np.abs(np.asarray(xr_r) - np.asarray(xr_s)).max() > 0
+
+
 def test_stepped_pair_seg_params_argument_path(sense_pair):
     """seg weights passed via seg_params (jit-argument path, axon-safe)
     == the legacy closure path."""
