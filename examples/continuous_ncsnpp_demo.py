@@ -29,6 +29,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# Honor JAX_PLATFORMS explicitly: the axon sitecustomize pins jax_platforms
+# at interpreter start, so the env var alone is ignored (a CPU-pinned smoke
+# would silently hit the TPU relay — and queue behind any live training run)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
                                  os.path.expanduser("~/.cache/ipdm_jax")))

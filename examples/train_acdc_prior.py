@@ -39,6 +39,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+# Honor JAX_PLATFORMS explicitly: the axon sitecustomize pins jax_platforms
+# at interpreter start, so the env var alone is ignored (a CPU-pinned smoke
+# would silently hit the TPU relay — and queue behind any live training run)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 # persistent compile cache (same knobs as bench.py): restarts of this
 # script skip the ~minutes-long 256^2 ngf128 remote compile
 jax.config.update("jax_compilation_cache_dir",
@@ -97,6 +103,12 @@ def main(argv=None):
                         "flood wedges the axon relay — observed r3)")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--no_flip", action="store_true")
+    p.add_argument("--finalize", action="store_true",
+                   help="resume the rolling checkpoint and immediately "
+                        "write prior.msgpack / raw_final.msgpack from it "
+                        "(no training) — extracts the EMA prior when a run "
+                        "is stopped between snapshots. Pass the SAME "
+                        "--steps/--batch/--n_train as the run (fingerprint)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="runs/acdc_prior_80k")
     args = p.parse_args(argv)
@@ -156,6 +168,18 @@ def main(argv=None):
                 log(f"resumed at step {start}")
             except Exception as e:
                 log(f"ignoring unreadable checkpoint ({e})")
+
+    if args.finalize:
+        if start == 0:
+            raise SystemExit("--finalize: no matching checkpoint to "
+                             f"finalize in {args.out}")
+        save_params(os.path.join(args.out, "prior.msgpack"),
+                    state.eval_params)
+        save_params(os.path.join(args.out, "raw_final.msgpack"),
+                    state.params)
+        log(f"finalized at step {start}: prior.msgpack (EMA) + "
+            "raw_final.msgpack written")
+        return
 
     dt = None if jax.default_backend() == "cpu" else jnp.bfloat16
     step = make_score_train_step(module, sigmas, data_mode="real-imag",

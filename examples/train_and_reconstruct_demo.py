@@ -23,6 +23,12 @@ import time
 import numpy as np
 import jax
 
+# Honor JAX_PLATFORMS explicitly: the axon sitecustomize pins jax_platforms
+# at interpreter start, so the env var alone is ignored (a CPU-pinned smoke
+# would silently hit the TPU relay — and queue behind any live training run)
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 jax.config.update("jax_compilation_cache_dir",
                   os.path.expanduser("~/.cache/ipdm_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
