@@ -375,20 +375,25 @@ def _bench_impl():
 
     total_steps = levels * n_steps * batch   # chain-steps across the batch
     value = total_steps / elapsed
-    print(json.dumps({
+    rec = {
         "metric": "ALD chain-steps/sec/chip (ACDC R=8 SENSE, "
                   f"{size}^2 ngf{ngf}, {batch} chains, {dtype}, "
                   f"backend={jax.default_backend()})",
         "value": round(value, 3),
         "unit": "ALD_steps/sec/chip",
         "vs_baseline": round(value / DEFAULT_BASE, 3),
-        # x8-chip ICI projection (linear: zero tensor collectives in the
-        # hot loop, tests/test_parallel.py census invariant) vs the
-        # generous A100 model for the reference implementation
-        # (42.4 chain-steps/s: perfectly batched TF32 at 45% peak —
-        # arithmetic in BASELINE.md "Current standing vs the north star")
-        "vs_a100x8_est": round(value * 8 / 42.4, 2),
-    }))
+    }
+    # x8-chip ICI projection (linear: zero tensor collectives in the
+    # hot loop, tests/test_parallel.py census invariant) vs the
+    # generous A100 model for the reference implementation
+    # (42.4 chain-steps/s: perfectly batched TF32 at 45% peak —
+    # arithmetic in BASELINE.md "Current standing vs the north star").
+    # The A100 model is derived at the 256^2/ngf128/16-chain geometry
+    # ONLY — at any other BENCH_SIZE/NGF/BATCH the ratio is meaningless,
+    # so it is not emitted.
+    if (size, ngf, batch) == (256, 128, 16):
+        rec["vs_a100x8_est"] = round(value * 8 / 42.4, 2)
+    print(json.dumps(rec))
 
 
 if __name__ == "__main__":

@@ -148,8 +148,8 @@ def main(argv=None):
     shapes = str([tuple(np.shape(l))
                   for l in jax.tree_util.tree_leaves(params)])
     fp = hashlib.sha1(
-        f"{args.steps}|{args.seed}|{args.batch}|{args.n_train}|{shapes}"
-        .encode()).hexdigest()[:12]
+        f"{args.steps}|{args.seed}|{args.batch}|{args.n_train}|{args.lr}|"
+        f"{args.no_flip}|{args.ladder_n}|{shapes}".encode()).hexdigest()[:12]
     ckpt_path = os.path.join(args.out, "train_state.ckpt")
     fp_path = ckpt_path + ".fp"
     start = 0

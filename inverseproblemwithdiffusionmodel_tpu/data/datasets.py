@@ -488,12 +488,21 @@ def _wrap_provenance(fn, name: str):
         prev = _SYNTH_FLAG["v"]
         _SYNTH_FLAG["v"] = False
         ds = fn(*args, **kwargs)
-        # bind positionally too: load_mnist("test") must record .../test
+        # bind positionally too: load_mnist(None, "test") must record
+        # .../test (every loader takes root_dir first, so a bare
+        # positional "test" would bind root_dir, not mode)
+        # (bind_partial resolves positional args against the signature; it
+        # does NOT fill defaults, so fall back to the loader's own declared
+        # default for `mode` rather than a hardcoded "train")
         try:
             bound = sig.bind_partial(*args, **kwargs).arguments
         except TypeError:
             bound = kwargs
-        mode = bound.get("mode", "train")
+        mode_param = sig.parameters.get("mode")
+        mode_default = ("train" if mode_param is None
+                        or mode_param.default is inspect.Parameter.empty
+                        else mode_param.default)
+        mode = bound.get("mode", mode_default)
         _PROVENANCE[f"{name}/{mode}"] = {
             "source": "synthetic" if _SYNTH_FLAG["v"] else "real",
             "num_items": len(ds)}

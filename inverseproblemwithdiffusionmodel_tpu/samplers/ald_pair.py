@@ -50,6 +50,9 @@ def ald_inverse_proximal_pair(
     snapshot_fn: Optional[Callable] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """measurement: (yr, yi). Returns the reconstruction pair (xr, xi).
+    `lr_scaled` may be a scalar or a PER-LEVEL (L,) schedule (annealed
+    data-consistency weight), matching make_stepped_pair_reconstructor —
+    the schedule rides the scan xs so either form stays one program.
     snapshot_fn(level, sigma, x_re, x_im): optional host diagnostics every
     config.snapshot_every levels (see ald._maybe_snapshot)."""
     yr, yi = measurement
@@ -57,6 +60,8 @@ def ald_inverse_proximal_pair(
     proximal = _bake_ahy(proximal, x_re, x_im)
     sigma_last = sigmas[-1]
     L = sigmas.shape[0]
+    lr_sched = jnp.broadcast_to(
+        jnp.asarray(lr_scaled, jnp.float32).reshape(-1), (L,))
     lh_weights = get_lh_weights(sigmas, seg_start_time, seg_step_type)
     use_seg = seg_fn is not None
     if use_seg:
@@ -66,7 +71,7 @@ def ald_inverse_proximal_pair(
 
     def level_step(carry, inp):
         x_re, x_im, key = carry
-        c, sigma, lh_w = inp
+        c, sigma, lh_w, lr_sc = inp
         step_size = config.step_lr * (sigma / sigma_last) ** 2
 
         def inner(_, state):
@@ -82,7 +87,7 @@ def ald_inverse_proximal_pair(
             x_re = _langevin_update(x_re, g_re, step_size, k_re)
             x_im = _langevin_update(x_im, g_im, step_size, k_im)
             x_re, x_im = proximal(x_re, x_im, yr, yi,
-                                  config.step_lr * lr_scaled, 1.0)
+                                  config.step_lr * lr_sc, 1.0)
             return x_re, x_im, key
 
         x_re, x_im, key = lax.fori_loop(0, config.n_steps_each, inner,
@@ -92,7 +97,8 @@ def ald_inverse_proximal_pair(
 
     (x_re, x_im, key), _ = lax.scan(
         level_step, (x_re, x_im, key),
-        (jnp.arange(L, dtype=jnp.int32), jnp.asarray(sigmas), lh_weights))
+        (jnp.arange(L, dtype=jnp.int32), jnp.asarray(sigmas), lh_weights,
+         lr_sched))
 
     if config.denoise:
         stacked = stack_parts(x_re, x_im)

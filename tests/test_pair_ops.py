@@ -559,6 +559,20 @@ def test_stepped_pair_per_level_lr_schedule(sense_pair):
     assert np.isfinite(np.asarray(xr_r)).all()
     assert np.abs(np.asarray(xr_r) - np.asarray(xr_s)).max() > 0
 
+    # the scanned deployment form accepts the same (L,) schedule and
+    # matches the host-stepped trajectory (a tuned --ald_anneal_start
+    # schedule carries over to scan mode unchanged)
+    def score_fn(x, labels):
+        return mod.apply({"params": ps}, x, sigmas[labels])
+
+    xr_sc, xi_sc = ald_inverse_proximal_pair(
+        score_fn, sigmas, (yr, yi), pair, prox, k, cfg,
+        lr_scaled=jnp.asarray(np.geomspace(5.0, 50.0, 10)))
+    np.testing.assert_allclose(np.asarray(xr_sc), np.asarray(xr_r),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.asarray(xi_sc), np.asarray(xi_r),
+                               atol=1e-5)
+
 
 def test_stepped_pair_seg_params_argument_path(sense_pair):
     """seg weights passed via seg_params (jit-argument path, axon-safe)

@@ -24,7 +24,11 @@ def assert_collective_census(hlo: str) -> None:
         assert op not in hlo, f"unexpected tensor collective {op}"
     # result shape precedes the op name: `%x = f32[] all-reduce(...)`
     # (or a tuple of scalars). Any digit inside [] means a tensor.
-    for shape in re.findall(r"=\s*(\(?[^=\n]*?)\s*all-reduce", hlo):
+    # Anchor to DEFINING sites (`= <shape> all-reduce(`): operand
+    # references like `fusion(%param, %all-reduce.1)` must not match,
+    # or a fused tensor consumer of a scalar all-reduce trips the assert.
+    for shape in re.findall(r"=\s*(\(?[^=\n]*?)\s*all-reduce(?:-start)?\(",
+                            hlo):
         assert not re.search(r"\[\s*\d", shape), \
             f"non-scalar all-reduce in sharded hot loop: {shape}"
 
