@@ -109,6 +109,15 @@ def main(argv=None):
                         "(no training) — extracts the EMA prior when a run "
                         "is stopped between snapshots. Pass the SAME "
                         "--steps/--batch/--n_train as the run (fingerprint)")
+    p.add_argument("--warm_start", default=None,
+                   help="artifact dir (examples/export_prior_artifact.py: "
+                        "raw_bf16.msgpack + ema_bf16.msgpack + META.json). "
+                        "Used only when no rolling checkpoint matches: "
+                        "params/EMA are restored (cast back to f32) and "
+                        "training continues from META step with a FRESH "
+                        "Adam state (moments re-warm in O(100) steps) — "
+                        "the cross-round resume path, since runs/ does not "
+                        "survive rounds but git-tracked artifacts/ does")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--out", default="runs/acdc_prior_80k")
     args = p.parse_args(argv)
@@ -169,6 +178,28 @@ def main(argv=None):
             except Exception as e:
                 log(f"ignoring unreadable checkpoint ({e})")
 
+    if start == 0 and args.warm_start and not args.finalize:
+        import json as _json
+        meta = _json.load(open(os.path.join(args.warm_start, "META.json")))
+
+        def _load_into(target, name):
+            tree = serialization.msgpack_restore(
+                open(os.path.join(args.warm_start, name), "rb").read())
+            tree = serialization.from_state_dict(target, tree)
+            return jax.tree_util.tree_map(
+                lambda t, s: jnp.asarray(s, jnp.asarray(t).dtype),
+                target, tree)
+
+        raw = _load_into(state.params, "raw_bf16.msgpack")
+        ema = _load_into(state.ema.params, "ema_bf16.msgpack")
+        start = int(meta["step"])
+        state = state.replace(params=raw,
+                              ema=state.ema.replace(params=ema),
+                              step=jnp.asarray(start, jnp.int32))
+        state = jax.device_put(state)
+        log(f"warm-started from {args.warm_start} at step {start} "
+            "(fresh Adam moments)")
+
     if args.finalize:
         if start == 0:
             raise SystemExit("--finalize: no matching checkpoint to "
@@ -187,12 +218,23 @@ def main(argv=None):
 
     K = args.scan_k
 
-    def chunk_fn(st, batches, keys):
-        def body(s, bk):
-            b, k = bk
-            s2, loss = step(s, b, k)
+    # The dataset lives ON DEVICE for the whole run (2000 x 256^2 f32 =
+    # 524 MB, far under v5e HBM); each chunk ships only (K, B) int32
+    # indices + flip bits + step ids. The first version of this loop
+    # synthesized batches on host and uploaded 6.3 MB per chunk over the
+    # relay plus K eager fold_in dispatches — measured 3.3 steps/s at B=3
+    # vs compute-bound ~6+. Gather/flip/fold_in are traced into the chunk.
+    # `dset` is a jit ARGUMENT (closing over it would inline 524 MB of HLO
+    # constants — see CLAUDE.md) and the same device buffer every call, so
+    # it is never re-uploaded.
+    def chunk_fn(st, dset, base_key, idx, flip, step_ids):
+        def body(s, xs):
+            ii, ff, sid = xs
+            b = dset[ii]
+            b = jnp.where(ff[:, None, None, None], b[:, :, ::-1], b)
+            s2, loss = step(s, b, jax.random.fold_in(base_key, sid))
             return s2, loss
-        st, losses = jax.lax.scan(body, st, (batches, keys))
+        st, losses = jax.lax.scan(body, st, (idx, flip, step_ids))
         return st, losses.mean()
 
     chunk = jax.jit(chunk_fn, donate_argnums=(0,))
@@ -200,29 +242,32 @@ def main(argv=None):
     base_key = jax.random.PRNGKey(args.seed + 1)
     log_every = 1000
 
-    def host_batch(i):
-        """Deterministic per-step batch (replayable across resume)."""
+    def host_draw(i):
+        """Deterministic per-step (idx, flip) — the SAME RandomState draws
+        as the original host-side batch synthesis, so the training stream
+        is bit-identical and replayable across resume."""
         rs = np.random.RandomState([args.seed, i])
         idx = rs.choice(len(data), args.batch)
-        b = data[idx]
-        if not args.no_flip:
-            flip = rs.rand(args.batch) < 0.5
-            b = np.where(flip[:, None, None, None], b[:, :, ::-1], b)
-        return b
+        flip = (rs.rand(args.batch) < 0.5) if not args.no_flip \
+            else np.zeros(args.batch, bool)
+        return idx, flip
 
+    dset = jax.device_put(jnp.asarray(data))
     t0, done0 = time.time(), start
     loss_hist = []
     i = start
     while i < args.steps:
         k_here = min(K, args.steps - i)
-        batches = np.stack([host_batch(i + j) for j in range(k_here)])
+        draws = [host_draw(i + j) for j in range(k_here)]
         if k_here < K:   # ragged tail: pad by tiling (extra steps are
             # harmless — they continue training deterministically)
             reps = -(-K // k_here)
-            batches = np.concatenate([batches] * reps, 0)[:K]
-        keys = jnp.stack([jax.random.fold_in(base_key, i + j)
-                          for j in range(K)])
-        state, mean_loss = chunk(state, jnp.asarray(batches), keys)
+            draws = (draws * reps)[:K]
+        idx = jnp.asarray(np.stack([d[0] for d in draws]), jnp.int32)
+        flip = jnp.asarray(np.stack([d[1] for d in draws]))
+        step_ids = jnp.arange(i, i + K, dtype=jnp.int32)
+        state, mean_loss = chunk(state, dset, base_key, idx, flip,
+                                 step_ids)
         prev_i, i = i, i + K
         if args.sync_every and (i // (K * args.sync_every)) != (
                 prev_i // (K * args.sync_every)):
