@@ -1,0 +1,212 @@
+"""Checkpoint-sweep ALD probes: quality + stability edge vs training step.
+
+VERDICT r3 task 8: the 256^2 ALD-vs-MAP gap hypothesis ("needs the full
+80k training budget") must become data. This probes every retained
+training snapshot (examples/train_acdc_prior.py --snap_every) on the VAL
+slice of the EXACT acdc_sense_ensemble.py 256^2 geometry — same dataset
+draw, sigma ladder, mask, coil maps, phase — and appends one JSONL row
+per (snapshot, kind, schedule) probe.
+
+Probe protocol is REDUCED for cost (default 4 chains, n_steps_each 1 vs
+the headline 16 x 3): probes share one PRNG key, so rows are comparable
+ACROSS snapshots (same noise realization; only the params differ), and
+trends — quality vs step, divergence edge vs step, EMA vs raw, constant
+vs annealed schedule — are what this measures, not headline numbers.
+
+Runs fine WHILE training runs (the relay interleaves programs; expect
+~2x slower probes and ~proportional training slowdown while active).
+
+  python examples/acdc_ckpt_sweep.py --run runs/acdc_prior_80k \
+      --out runs/ckpt_sweep.jsonl
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import sys
+import time
+
+import numpy as np
+import jax
+
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.expanduser("~/.cache/ipdm_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from acdc_sense_ensemble import make_dataset  # noqa: E402
+from cine_2d_time_quality_matrix import BF16Wrap  # noqa: E402
+
+from inverseproblemwithdiffusionmodel_tpu.config import Config
+from inverseproblemwithdiffusionmodel_tpu.models.registry import get_network
+from inverseproblemwithdiffusionmodel_tpu.operators.fourier import (
+    _exp_sens_map)
+from inverseproblemwithdiffusionmodel_tpu.operators.masks import (
+    random_cartesian_mask)
+from inverseproblemwithdiffusionmodel_tpu.operators.pair import (
+    PairSENSE, PairL2Penalty)
+from inverseproblemwithdiffusionmodel_tpu.ops.resize import (
+    resize_align_corners)
+from inverseproblemwithdiffusionmodel_tpu.samplers import ALDConfig
+from inverseproblemwithdiffusionmodel_tpu.samplers.ald_pair import (
+    make_stepped_pair_reconstructor)
+from inverseproblemwithdiffusionmodel_tpu.samplers.sigmas import sigma_ladder
+from inverseproblemwithdiffusionmodel_tpu.utils.dataset_stats import (
+    max_pairwise_distance)
+from inverseproblemwithdiffusionmodel_tpu.utils.metrics import nrmse, ssim
+
+
+def log(msg):
+    print(f"[sweep] {msg}", flush=True)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--run", default="runs/acdc_prior_80k")
+    p.add_argument("--out", default="runs/ckpt_sweep.jsonl")
+    p.add_argument("--size", type=int, default=256)
+    p.add_argument("--ngf", type=int, default=128)
+    p.add_argument("--levels", type=int, default=2311)
+    p.add_argument("--n_steps_each", type=int, default=1)
+    p.add_argument("--step_lr", type=float, default=9e-7)
+    p.add_argument("--chains", type=int, default=4)
+    p.add_argument("--R", type=int, default=8)
+    p.add_argument("--center_frac", type=float, default=1 / 16)
+    p.add_argument("--num_sens", type=int, default=4)
+    p.add_argument("--lr_grid", type=float, nargs="+",
+                   default=[3e5, 1.2e6],
+                   help="constant-schedule lr_scaled probes (EMA params)")
+    p.add_argument("--anneal_lr", type=float, default=1.2e6,
+                   help="annealed-schedule probe weight (0 disables)")
+    p.add_argument("--anneal_start", type=float, default=0.01)
+    p.add_argument("--raw_lr", type=float, default=3e5,
+                   help="raw (non-EMA) params probe weight (0 disables)")
+    p.add_argument("--snap_min", type=int, default=0,
+                   help="skip snapshots below this step")
+    p.add_argument("--seed", type=int, default=0)
+    args = p.parse_args(argv)
+    S = args.size
+
+    # ---- EXACT acdc_sense_ensemble geometry ---------------------------
+    data = make_dataset(400, S, args.seed)
+    sigma_max = max_pairwise_distance(data, max_samples=256)
+    sigmas = sigma_ladder(sigma_max, 0.01, args.levels)
+    del data
+    test = make_dataset(2, S, args.seed + 777)
+    mask = random_cartesian_mask(S, args.R, args.center_frac,
+                                 seed=args.seed).reshape(1, 1, S, 1)
+    maps = np.stack([_exp_sens_map(S, S, args.seed + i)
+                     for i in range(args.num_sens)])
+    maps = maps / np.sqrt((maps ** 2).sum(axis=0, keepdims=True))
+    patch = jax.random.normal(jax.random.PRNGKey(args.seed + 3),
+                              (2, 5, 5, 1))
+    phase = resize_align_corners(patch, (S, S), axes=(1, 2))
+
+    # VAL slice (index 1 — the ensemble script's tuning slice)
+    truth = jnp.asarray(test[1:2])
+    xr_t = truth * jnp.cos(phase[1:2])
+    xi_t = truth * jnp.sin(phase[1:2])
+    B = args.chains
+    opB = PairSENSE(
+        mask=jnp.asarray(np.tile(mask, (B, 1, 1, 1)), jnp.float32),
+        sens_re=jnp.asarray(maps[..., None], jnp.float32),
+        sens_im=jnp.zeros((args.num_sens, S, S, 1), jnp.float32))
+    op1 = PairSENSE(
+        mask=jnp.asarray(np.tile(mask, (1, 1, 1, 1)), jnp.float32),
+        sens_re=jnp.asarray(maps[..., None], jnp.float32),
+        sens_im=jnp.zeros((args.num_sens, S, S, 1), jnp.float32))
+    yr1, yi1 = op1(xr_t, xi_t)
+    yrB = jnp.tile(yr1, (1, B, 1, 1, 1))
+    yiB = jnp.tile(yi1, (1, B, 1, 1, 1))
+
+    config = Config({"data": {"channels": 1, "image_size": S,
+                              "logit_transform": False, "rescaled": False},
+                     "model": {"ngf": args.ngf, "nonlinearity": "elu",
+                               "normalization": "InstanceNorm++"}})
+    module = get_network(config)
+    fwd = module if jax.default_backend() == "cpu" else BF16Wrap(module)
+    cfg = ALDConfig(n_steps_each=args.n_steps_each, step_lr=args.step_lr)
+
+    x0 = jnp.zeros((B, S, S, 1))
+    p0 = jax.jit(module.init)(jax.random.PRNGKey(args.seed), x0,
+                              jnp.ones((B,)))["params"]
+    from flax import serialization
+
+    def load(path):
+        params = serialization.from_bytes(p0, open(path, "rb").read())
+        return jax.device_put(params)
+
+    recons = {}
+
+    def probe(params, lr_scaled, schedule):
+        keyname = (lr_scaled, schedule)
+        if keyname not in recons:
+            lrs = lr_scaled if schedule == "const" else \
+                np.geomspace(args.anneal_start * lr_scaled, lr_scaled,
+                             args.levels)
+            recons[keyname] = make_stepped_pair_reconstructor(
+                fwd, sigmas, opB,
+                PairL2Penalty.with_normal_kernel(opB, num_iters=6), cfg,
+                lr_scaled=lrs)
+        t0 = time.time()
+        xr, xi = recons[keyname](params, yrB, yiB,
+                                 jax.random.PRNGKey(args.seed + 50))
+        mag = jnp.sqrt(xr ** 2 + xi ** 2).mean(axis=0)
+        n = float(nrmse(mag, truth[0]))
+        s = float(ssim(mag[..., 0], truth[0][..., 0]))
+        return n, s, time.time() - t0
+
+    done = set()
+    if os.path.exists(args.out):
+        for line in open(args.out):
+            try:
+                r = json.loads(line)
+                done.add((r["step"], r["kind"], r["lr_scaled"],
+                          r["schedule"]))
+            except Exception:
+                pass
+
+    jobs = []
+    for path in sorted(glob.glob(os.path.join(args.run,
+                                              "prior_*.msgpack"))):
+        step = int(os.path.basename(path)[6:-8])
+        if step < args.snap_min:
+            continue
+        for lr in args.lr_grid:
+            jobs.append((step, "ema", lr, "const", path))
+        if args.anneal_lr:
+            jobs.append((step, "ema", args.anneal_lr, "anneal", path))
+        if args.raw_lr:
+            raw = os.path.join(args.run, f"raw_{step:06d}.msgpack")
+            if os.path.exists(raw):
+                jobs.append((step, "raw", args.raw_lr, "const", raw))
+    jobs = [j for j in jobs if j[:4] not in done]
+    log(f"{len(jobs)} probes queued "
+        f"(chains={B}, n_steps_each={args.n_steps_each})")
+
+    last_path, params = None, None
+    for step, kind, lr, schedule, path in jobs:
+        if path != last_path:
+            params = load(path)
+            last_path = path
+        n, s, wall = probe(params, lr, schedule)
+        row = {"step": step, "kind": kind, "lr_scaled": lr,
+               "schedule": schedule, "nrmse": round(n, 4),
+               "ssim": round(s, 4), "wall_s": round(wall, 1),
+               "chains": B, "n_steps_each": args.n_steps_each,
+               "eff_weight": round(args.step_lr * lr, 3),
+               "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
+        with open(args.out, "a") as f:
+            f.write(json.dumps(row) + "\n")
+        log(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()
