@@ -102,6 +102,12 @@ def main(argv=None):
                         "runs ~125 chunks ahead and the 16MB/chunk RPC "
                         "flood wedges the axon relay — observed r3)")
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--eps", type=float, default=1e-3,
+                   help="Adam eps — the reference recipe trains with 1e-3 "
+                        "(acdc.yml optim.eps), not the torch default 1e-8")
+    p.add_argument("--grad_clip", type=float, default=0.0,
+                   help="0 disables (reference: no clipping — acdc.yml has "
+                        "no grad_clip and the Lightning trainer sets none)")
     p.add_argument("--no_flip", action="store_true")
     p.add_argument("--finalize", action="store_true",
                    help="resume the rolling checkpoint and immediately "
@@ -149,8 +155,9 @@ def main(argv=None):
     params = jax.jit(module.init)(jax.random.PRNGKey(args.seed), x0,
                                   jnp.ones((args.batch,)))["params"]
     opt_cfg = Config({"optim": {"optimizer": "Adam", "lr": args.lr,
-                                "beta1": 0.9, "eps": 1e-8,
-                                "weight_decay": 0.0, "grad_clip": 1.0}})
+                                "beta1": 0.9, "eps": args.eps,
+                                "weight_decay": 0.0,
+                                "grad_clip": args.grad_clip}})
     state = TrainState.create(params, get_optimizer(opt_cfg),
                               ema_decay=0.999)
 
@@ -176,7 +183,32 @@ def main(argv=None):
                 state = jax.device_put(state)  # from_bytes leaves are host
                 log(f"resumed at step {start}")
             except Exception as e:
-                log(f"ignoring unreadable checkpoint ({e})")
+                # optimizer-structure changes (e.g. dropping grad-clip from
+                # the optax chain) make the full-state restore fail; the
+                # params/EMA/step live at fixed paths in the raw msgpack
+                # and are optimizer-agnostic — recover those and let Adam
+                # moments rebuild (O(100) steps), instead of silently
+                # discarding hours of training
+                try:
+                    blob = serialization.msgpack_restore(
+                        open(ckpt_path, "rb").read())
+                    st = blob["state"]
+                    params2 = serialization.from_state_dict(
+                        state.params, st["params"])
+                    ema2 = serialization.from_state_dict(
+                        state.ema.params, st["ema"]["params"])
+                    start = int(blob["step"])
+                    state = state.replace(
+                        params=params2,
+                        ema=state.ema.replace(params=ema2),
+                        step=jnp.asarray(start, jnp.int32))
+                    state = jax.device_put(state)
+                    log(f"recovered params+EMA at step {start} from "
+                        f"checkpoint with mismatched optimizer structure "
+                        f"(fresh Adam moments; original error: {e})")
+                except Exception as e2:
+                    log(f"ignoring unreadable checkpoint ({e}; "
+                        f"recovery failed: {e2})")
 
     if start == 0 and args.warm_start and not args.finalize:
         import json as _json
