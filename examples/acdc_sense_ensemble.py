@@ -40,6 +40,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from cine_2d_time_quality_matrix import BF16Wrap, train_score_net  # noqa: E402
 
 from inverseproblemwithdiffusionmodel_tpu.config import Config
