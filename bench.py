@@ -46,12 +46,17 @@ import jax
 # test) silently talks to the TPU relay instead.
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+_IPDM_CACHE = os.path.expanduser(
+    "~/.cache/ipdm_jax_cpu"   # CPU AOT entries are machine-specific:
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+    else "~/.cache/ipdm_jax")  # never share with the axon remote-compile cache
+
 
 # persistent compilation cache: recon compiles once per geometry, later
 # bench invocations (and driver re-runs) start in seconds
 jax.config.update("jax_compilation_cache_dir",
                   os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                                 os.path.expanduser("~/.cache/ipdm_jax")))
+                                 _IPDM_CACHE))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
@@ -93,7 +98,7 @@ def make_pair_sense(num_sens: int, R: int, size: int, seed: int) -> PairSENSE:
 
 _CHILD_MARK = "_IPDM_BENCH_CHILD"
 _CACHE_DIR = os.environ.get("JAX_COMPILATION_CACHE_DIR",
-                            os.path.expanduser("~/.cache/ipdm_jax"))
+                            _IPDM_CACHE)
 _LAST_GOOD = os.path.join(_CACHE_DIR, "last_bench.json")
 
 

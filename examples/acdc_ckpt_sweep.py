@@ -30,11 +30,16 @@ import time
 
 import numpy as np
 import jax
+_IPDM_CACHE = os.path.expanduser(
+    "~/.cache/ipdm_jax_cpu"   # CPU AOT entries are machine-specific:
+    if os.environ.get("JAX_PLATFORMS", "").startswith("cpu")
+    else "~/.cache/ipdm_jax")  # never share with the axon remote-compile cache
+
 
 if os.environ.get("JAX_PLATFORMS"):
     jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_compilation_cache_dir",
-                  os.path.expanduser("~/.cache/ipdm_jax"))
+                  _IPDM_CACHE)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 import jax.numpy as jnp
