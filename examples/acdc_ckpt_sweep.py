@@ -156,6 +156,8 @@ def main(argv=None):
             lrs = lr_scaled if schedule == "const" else \
                 np.geomspace(args.anneal_start * lr_scaled, lr_scaled,
                              args.levels)
+            # (schedule label already encodes anneal_start; one process
+            # only ever runs a single --anneal_start value)
             recons[keyname] = make_stepped_pair_reconstructor(
                 fwd, sigmas, opB,
                 PairL2Penalty.with_normal_kernel(opB, num_iters=6), cfg,
@@ -187,7 +189,12 @@ def main(argv=None):
         for lr in args.lr_grid:
             jobs.append((step, "ema", lr, "const", path))
         if args.anneal_lr:
-            jobs.append((step, "ema", args.anneal_lr, "anneal", path))
+            # label carries the ramp start so different --anneal_start
+            # probes don't collide in the done-set ("anneal" == the
+            # legacy 0.01-start rows)
+            sched = ("anneal" if args.anneal_start == 0.01
+                     else f"anneal{args.anneal_start:g}")
+            jobs.append((step, "ema", args.anneal_lr, sched, path))
         if args.raw_lr:
             raw = os.path.join(args.run, f"raw_{step:06d}.msgpack")
             if os.path.exists(raw):
