@@ -95,6 +95,12 @@ def main(argv=None):
                    help="raw (non-EMA) params probe weight (0 disables)")
     p.add_argument("--snap_min", type=int, default=0,
                    help="skip snapshots below this step")
+    p.add_argument("--cg_iters", type=int, default=6,
+                   help="CG iterations in the proximal solve. <6 probes a "
+                        "DAMPED (partial) prox — the reference's DC is a "
+                        "single 5e-2 SGD step (proximal_op.py:20-51), far "
+                        "gentler than an exact solve, which may be why its "
+                        "recipe tolerates much higher lr_scaled")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     S = args.size
@@ -153,14 +159,15 @@ def main(argv=None):
     def probe(params, lr_scaled, schedule):
         keyname = (lr_scaled, schedule)
         if keyname not in recons:
-            lrs = lr_scaled if schedule == "const" else \
+            lrs = lr_scaled if schedule.startswith("const") else \
                 np.geomspace(args.anneal_start * lr_scaled, lr_scaled,
                              args.levels)
             # (schedule label already encodes anneal_start; one process
             # only ever runs a single --anneal_start value)
             recons[keyname] = make_stepped_pair_reconstructor(
                 fwd, sigmas, opB,
-                PairL2Penalty.with_normal_kernel(opB, num_iters=6), cfg,
+                PairL2Penalty.with_normal_kernel(
+                    opB, num_iters=args.cg_iters), cfg,
                 lr_scaled=lrs)
         t0 = time.time()
         xr, xi = recons[keyname](params, yrB, yiB,
@@ -199,6 +206,10 @@ def main(argv=None):
             raw = os.path.join(args.run, f"raw_{step:06d}.msgpack")
             if os.path.exists(raw):
                 jobs.append((step, "raw", args.raw_lr, "const", raw))
+    if args.cg_iters != 6:
+        # damped-prox probes: cg-suffixed labels (dedicated invocation)
+        jobs = [(s, k, lr, f"{sc}-cg{args.cg_iters}", p2)
+                for s, k, lr, sc, p2 in jobs]
     jobs = [j for j in jobs if j[:4] not in done]
     log(f"{len(jobs)} probes queued "
         f"(chains={B}, n_steps_each={args.n_steps_each})")
