@@ -101,6 +101,12 @@ def main(argv=None):
                         "single 5e-2 SGD step (proximal_op.py:20-51), far "
                         "gentler than an exact solve, which may be why its "
                         "recipe tolerates much higher lr_scaled")
+    p.add_argument("--eval_slice", default="val", choices=["val", "test"],
+                   help="val = tuning slice (default, trend probes); "
+                        "test = held-out reported slice (final numbers)")
+    p.add_argument("--n_probes", type=int, default=1,
+                   help="accumulate N x chains with distinct keys into one "
+                        "ensemble row (mean over N*chains chains)")
     p.add_argument("--seed", type=int, default=0)
     args = p.parse_args(argv)
     S = args.size
@@ -120,10 +126,12 @@ def main(argv=None):
                               (2, 5, 5, 1))
     phase = resize_align_corners(patch, (S, S), axes=(1, 2))
 
-    # VAL slice (index 1 — the ensemble script's tuning slice)
-    truth = jnp.asarray(test[1:2])
-    xr_t = truth * jnp.cos(phase[1:2])
-    xi_t = truth * jnp.sin(phase[1:2])
+    # slice 0 = held-out test (reported), slice 1 = val (tuning) — the
+    # ensemble script's convention
+    si = 0 if args.eval_slice == "test" else 1
+    truth = jnp.asarray(test[si:si + 1])
+    xr_t = truth * jnp.cos(phase[si:si + 1])
+    xi_t = truth * jnp.sin(phase[si:si + 1])
     B = args.chains
     opB = PairSENSE(
         mask=jnp.asarray(np.tile(mask, (B, 1, 1, 1)), jnp.float32),
@@ -170,9 +178,13 @@ def main(argv=None):
                     opB, num_iters=args.cg_iters), cfg,
                 lr_scaled=lrs)
         t0 = time.time()
-        xr, xi = recons[keyname](params, yrB, yiB,
-                                 jax.random.PRNGKey(args.seed + 50))
-        mag = jnp.sqrt(xr ** 2 + xi ** 2).mean(axis=0)
+        mags = []
+        for k in range(args.n_probes):
+            key = jax.random.PRNGKey(args.seed + 50) if k == 0 else \
+                jax.random.fold_in(jax.random.PRNGKey(args.seed + 50), k)
+            xr, xi = recons[keyname](params, yrB, yiB, key)
+            mags.append(np.sqrt(np.asarray(xr) ** 2 + np.asarray(xi) ** 2))
+        mag = jnp.asarray(np.concatenate(mags).mean(axis=0))
         n = float(nrmse(mag, truth[0]))
         s = float(ssim(mag[..., 0], truth[0][..., 0]))
         return n, s, time.time() - t0
@@ -223,7 +235,8 @@ def main(argv=None):
         row = {"step": step, "kind": kind, "lr_scaled": lr,
                "schedule": schedule, "nrmse": round(n, 4),
                "ssim": round(s, 4), "wall_s": round(wall, 1),
-               "chains": B, "n_steps_each": args.n_steps_each,
+               "chains": B * args.n_probes, "slice": args.eval_slice,
+               "n_steps_each": args.n_steps_each,
                "eff_weight": round(args.step_lr * lr, 3),
                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
         with open(args.out, "a") as f:
