@@ -85,9 +85,10 @@ def main(argv=None):
     p.add_argument("--R", type=int, default=8)
     p.add_argument("--center_frac", type=float, default=1 / 16)
     p.add_argument("--num_sens", type=int, default=4)
-    p.add_argument("--lr_grid", type=float, nargs="+",
+    p.add_argument("--lr_grid", type=float, nargs="*",
                    default=[3e5, 1.2e6],
-                   help="constant-schedule lr_scaled probes (EMA params)")
+                   help="constant-schedule lr_scaled probes (EMA params); "
+                        "pass with no values to probe raw/anneal only")
     p.add_argument("--anneal_lr", type=float, default=1.2e6,
                    help="annealed-schedule probe weight (0 disables)")
     p.add_argument("--anneal_start", type=float, default=0.01)
@@ -164,7 +165,7 @@ def main(argv=None):
 
     recons = {}
 
-    def probe(params, lr_scaled, schedule):
+    def probe(params, lr_scaled, schedule, emit=None):
         keyname = (lr_scaled, schedule)
         if keyname not in recons:
             lrs = lr_scaled if schedule.startswith("const") else \
@@ -184,6 +185,13 @@ def main(argv=None):
                 jax.random.fold_in(jax.random.PRNGKey(args.seed + 50), k)
             xr, xi = recons[keyname](params, yrB, yiB, key)
             mags.append(np.sqrt(np.asarray(xr) ** 2 + np.asarray(xi) ** 2))
+            if emit is not None and k + 1 < args.n_probes:
+                # incremental cumulative-ensemble row (partial result is
+                # persisted even if the remaining probes never finish)
+                pm = jnp.asarray(np.concatenate(mags).mean(axis=0))
+                emit((k + 1) * B, float(nrmse(pm, truth[0])),
+                     float(ssim(pm[..., 0], truth[0][..., 0])),
+                     time.time() - t0)
         mag = jnp.asarray(np.concatenate(mags).mean(axis=0))
         n = float(nrmse(mag, truth[0]))
         s = float(ssim(mag[..., 0], truth[0][..., 0]))
@@ -194,6 +202,9 @@ def main(argv=None):
         for line in open(args.out):
             try:
                 r = json.loads(line)
+                if r.get("partial"):
+                    continue  # cumulative-ensemble checkpoints don't
+                    # complete a job — rerun resumes it from scratch
                 done.add((r["step"], r["kind"], r["lr_scaled"],
                           r["schedule"]))
             except Exception:
@@ -231,7 +242,23 @@ def main(argv=None):
         if path != last_path:
             params = load(path)
             last_path = path
-        n, s, wall = probe(params, lr, schedule)
+        def emit(nch, pn, ps, pwall, _step=step, _kind=kind, _lr=lr,
+                 _schedule=schedule):
+            prow = {"step": _step, "kind": _kind, "lr_scaled": _lr,
+                    "schedule": _schedule, "nrmse": round(pn, 4),
+                    "ssim": round(ps, 4), "wall_s": round(pwall, 1),
+                    "chains": nch, "slice": args.eval_slice,
+                    "n_steps_each": args.n_steps_each,
+                    "eff_weight": round(args.step_lr * _lr, 3),
+                    "partial": True,
+                    "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                        time.gmtime())}
+            with open(args.out, "a") as f:
+                f.write(json.dumps(prow) + "\n")
+            log(json.dumps(prow))
+
+        n, s, wall = probe(params, lr, schedule,
+                           emit=emit if args.n_probes > 1 else None)
         row = {"step": step, "kind": kind, "lr_scaled": lr,
                "schedule": schedule, "nrmse": round(n, 4),
                "ssim": round(s, 4), "wall_s": round(wall, 1),
