@@ -165,7 +165,7 @@ def main(argv=None):
 
     recons = {}
 
-    def probe(params, lr_scaled, schedule, emit=None):
+    def probe(params, lr_scaled, schedule, emit=None, resume_key=None):
         keyname = (lr_scaled, schedule)
         if keyname not in recons:
             lrs = lr_scaled if schedule.startswith("const") else \
@@ -179,34 +179,55 @@ def main(argv=None):
                     opB, num_iters=args.cg_iters), cfg,
                 lr_scaled=lrs)
         t0 = time.time()
-        mags = []
-        for k in range(args.n_probes):
+        # Per-probe DATA persistence (not just metrics): the running
+        # magnitude sum + probe count live in an .npz next to --out, so a
+        # relay wedge mid-ensemble costs at most one probe (~20 min at
+        # 256^2), and a later invocation with a larger --n_probes EXTENDS
+        # the ensemble without recomputing chains 0..k-1. The fold_in
+        # (PRNGKey(seed+50), k) schedule makes probe k deterministic.
+        acc, k0, rf = None, 0, None
+        if resume_key is not None:
+            rf = f"{args.out}.resume_{resume_key}.npz"
+            if os.path.exists(rf):
+                z = np.load(rf)
+                acc, k0 = z["sum"], int(z["k"])
+                log(f"resuming {resume_key} at probe {k0} "
+                    f"({k0 * B} chains done)")
+        for k in range(k0, args.n_probes):
             key = jax.random.PRNGKey(args.seed + 50) if k == 0 else \
                 jax.random.fold_in(jax.random.PRNGKey(args.seed + 50), k)
             xr, xi = recons[keyname](params, yrB, yiB, key)
-            mags.append(np.sqrt(np.asarray(xr) ** 2 + np.asarray(xi) ** 2))
+            m = np.sqrt(np.asarray(xr, np.float64) ** 2
+                        + np.asarray(xi, np.float64) ** 2).sum(axis=0)
+            acc = m if acc is None else acc + m
+            if rf is not None:
+                np.savez(rf + ".tmp.npz", sum=acc, k=k + 1)
+                os.replace(rf + ".tmp.npz", rf)
             if emit is not None and k + 1 < args.n_probes:
                 # incremental cumulative-ensemble row (partial result is
                 # persisted even if the remaining probes never finish)
-                pm = jnp.asarray(np.concatenate(mags).mean(axis=0))
+                pm = jnp.asarray((acc / ((k + 1) * B)).astype(np.float32))
                 emit((k + 1) * B, float(nrmse(pm, truth[0])),
                      float(ssim(pm[..., 0], truth[0][..., 0])),
                      time.time() - t0)
-        mag = jnp.asarray(np.concatenate(mags).mean(axis=0))
+        mag = jnp.asarray((acc / (args.n_probes * B)).astype(np.float32))
         n = float(nrmse(mag, truth[0]))
         s = float(ssim(mag[..., 0], truth[0][..., 0]))
         return n, s, time.time() - t0
 
-    done = set()
+    # done-set keeps the MAX completed chain count per job key: a rerun
+    # with a larger --n_probes re-queues the job and the resume .npz
+    # extends the ensemble from where the completed run stopped
+    done = {}
     if os.path.exists(args.out):
         for line in open(args.out):
             try:
                 r = json.loads(line)
                 if r.get("partial"):
                     continue  # cumulative-ensemble checkpoints don't
-                    # complete a job — rerun resumes it from scratch
-                done.add((r["step"], r["kind"], r["lr_scaled"],
-                          r["schedule"]))
+                    # complete a job — rerun resumes it via the .npz
+                k = (r["step"], r["kind"], r["lr_scaled"], r["schedule"])
+                done[k] = max(done.get(k, 0), r.get("chains", 0))
             except Exception:
                 pass
 
@@ -233,9 +254,13 @@ def main(argv=None):
         # damped-prox probes: cg-suffixed labels (dedicated invocation)
         jobs = [(s, k, lr, f"{sc}-cg{args.cg_iters}", p2)
                 for s, k, lr, sc, p2 in jobs]
-    jobs = [j for j in jobs if j[:4] not in done]
+    jobs = [j for j in jobs
+            if done.get(j[:4], -1) < B * args.n_probes]
     log(f"{len(jobs)} probes queued "
         f"(chains={B}, n_steps_each={args.n_steps_each})")
+    # run id distinguishes partial rows from different invocations of the
+    # same job (stale partials from a wedged run vs a fresh rerun)
+    run_id = time.strftime("%Y%m%dT%H%M%SZ", time.gmtime())
 
     last_path, params = None, None
     for step, kind, lr, schedule, path in jobs:
@@ -250,21 +275,24 @@ def main(argv=None):
                     "chains": nch, "slice": args.eval_slice,
                     "n_steps_each": args.n_steps_each,
                     "eff_weight": round(args.step_lr * _lr, 3),
-                    "partial": True,
+                    "R": args.R, "partial": True, "run": run_id,
                     "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ",
                                         time.gmtime())}
             with open(args.out, "a") as f:
                 f.write(json.dumps(prow) + "\n")
             log(json.dumps(prow))
 
+        rkey = f"{step}_{kind}_{lr:g}_{schedule}"
         n, s, wall = probe(params, lr, schedule,
-                           emit=emit if args.n_probes > 1 else None)
+                           emit=emit if args.n_probes > 1 else None,
+                           resume_key=rkey if args.n_probes > 1 else None)
         row = {"step": step, "kind": kind, "lr_scaled": lr,
                "schedule": schedule, "nrmse": round(n, 4),
                "ssim": round(s, 4), "wall_s": round(wall, 1),
                "chains": B * args.n_probes, "slice": args.eval_slice,
                "n_steps_each": args.n_steps_each,
                "eff_weight": round(args.step_lr * lr, 3),
+               "R": args.R, "run": run_id,
                "ts": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())}
         with open(args.out, "a") as f:
             f.write(json.dumps(row) + "\n")
