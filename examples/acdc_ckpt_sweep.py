@@ -92,8 +92,9 @@ def main(argv=None):
     p.add_argument("--anneal_lr", type=float, default=1.2e6,
                    help="annealed-schedule probe weight (0 disables)")
     p.add_argument("--anneal_start", type=float, default=0.01)
-    p.add_argument("--raw_lr", type=float, default=3e5,
-                   help="raw (non-EMA) params probe weight (0 disables)")
+    p.add_argument("--raw_lr", type=float, nargs="*", default=[3e5],
+                   help="raw (non-EMA) params probe weights (grid; pass "
+                        "with no values to disable)")
     p.add_argument("--snap_min", type=int, default=0,
                    help="skip snapshots below this step")
     p.add_argument("--cg_iters", type=int, default=6,
@@ -226,7 +227,8 @@ def main(argv=None):
                 if r.get("partial"):
                     continue  # cumulative-ensemble checkpoints don't
                     # complete a job — rerun resumes it via the .npz
-                k = (r["step"], r["kind"], r["lr_scaled"], r["schedule"])
+                k = (r["step"], r["kind"], r["lr_scaled"], r["schedule"],
+                     r.get("n_steps_each"))
                 done[k] = max(done.get(k, 0), r.get("chains", 0))
             except Exception:
                 pass
@@ -246,16 +248,17 @@ def main(argv=None):
             sched = ("anneal" if args.anneal_start == 0.01
                      else f"anneal{args.anneal_start:g}")
             jobs.append((step, "ema", args.anneal_lr, sched, path))
-        if args.raw_lr:
-            raw = os.path.join(args.run, f"raw_{step:06d}.msgpack")
-            if os.path.exists(raw):
-                jobs.append((step, "raw", args.raw_lr, "const", raw))
+        raw = os.path.join(args.run, f"raw_{step:06d}.msgpack")
+        if args.raw_lr and os.path.exists(raw):
+            for lr in args.raw_lr:
+                jobs.append((step, "raw", lr, "const", raw))
     if args.cg_iters != 6:
         # damped-prox probes: cg-suffixed labels (dedicated invocation)
         jobs = [(s, k, lr, f"{sc}-cg{args.cg_iters}", p2)
                 for s, k, lr, sc, p2 in jobs]
     jobs = [j for j in jobs
-            if done.get(j[:4], -1) < B * args.n_probes]
+            if done.get(j[:4] + (args.n_steps_each,), -1)
+            < B * args.n_probes]
     log(f"{len(jobs)} probes queued "
         f"(chains={B}, n_steps_each={args.n_steps_each})")
     # run id distinguishes partial rows from different invocations of the
@@ -282,7 +285,7 @@ def main(argv=None):
                 f.write(json.dumps(prow) + "\n")
             log(json.dumps(prow))
 
-        rkey = f"{step}_{kind}_{lr:g}_{schedule}"
+        rkey = f"{step}_{kind}_{lr:g}_{schedule}_n{args.n_steps_each}"
         n, s, wall = probe(params, lr, schedule,
                            emit=emit if args.n_probes > 1 else None,
                            resume_key=rkey if args.n_probes > 1 else None)
